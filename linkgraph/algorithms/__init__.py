@@ -1,0 +1,13 @@
+from linkgraph.algorithms.pagerank import pagerank
+from linkgraph.algorithms.components import connected_components
+from linkgraph.algorithms.lpa import label_propagation
+from linkgraph.algorithms.triangles import triangle_counts
+from linkgraph.algorithms.sssp import sssp
+
+__all__ = [
+    "pagerank",
+    "connected_components",
+    "label_propagation",
+    "triangle_counts",
+    "sssp",
+]

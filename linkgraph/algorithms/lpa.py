@@ -1,0 +1,87 @@
+"""Synchronous label propagation (community detection) — SURVEY §2.C C3.
+
+Pinned semantics (§A.3): undirected; init label=id; every superstep
+EVERY vertex adopts the most frequent label among its neighbors, ties
+broken toward the SMALLEST label; a vertex with no neighbors keeps its
+label; fixed `max_iter` (default 10) because sync LPA can oscillate
+(FIXTURES.md G2 demonstrates a 2-cycle), with an optional early stop
+at a fixpoint (a fixpoint is stable, so early-stop never changes the
+final labels for runs that reach one).
+
+Tie-break is implemented as a pure function of (count, label) — an
+aggregate of `max(struct(cnt, -label))` per dst — never of arrival
+order, so results are partition-invariant (the classic distributed-LPA
+bug class). The agg form needs no per-group sort (vs a row_number
+window) and keeps the combine map-side partial like every other
+superstep aggregate.
+"""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from linkgraph.graph import Graph, symmetrize
+from linkgraph.pregel import RunInfo, truncate_lineage
+
+
+def label_propagation(
+    graph: Graph, max_iter: int = 10, early_stop: bool = True, checkpointer=None
+) -> tuple[DataFrame, RunInfo]:
+    """Returns (state(id, label), RunInfo)."""
+    spark = graph.edges.sparkSession
+    p = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    und = symmetrize(graph.edges).repartition(p, "src").persist()
+    und.count()
+
+    info = RunInfo("label_propagation")
+    state = truncate_lineage(
+        graph.vertices.select("id", F.col("id").alias("label")).repartition(p, "id")
+    )
+
+    step = 0
+    for step in range(1, max_iter + 1):
+        t0 = time.monotonic()
+        msgs = und.join(state.withColumnRenamed("id", "src"), "src").select(
+            "dst", "label"
+        )
+        counts = msgs.groupBy("dst", "label").agg(F.count(F.lit(1)).alias("cnt"))
+        # argmax by (cnt desc, label asc): max over struct(cnt, -label, label)
+        winners = counts.groupBy("dst").agg(
+            F.max(
+                F.struct(
+                    F.col("cnt").alias("c"),
+                    (-F.col("label")).alias("nl"),
+                    F.col("label").alias("l"),
+                )
+            ).alias("w")
+        ).select("dst", F.col("w.l").alias("new_label"))
+        prev = state.select("id", F.col("label").alias("label_old"))
+        new_state = (
+            prev.join(winners, prev["id"] == winners["dst"], "left_outer")
+            .select(
+                "id",
+                F.coalesce(F.col("new_label"), F.col("label_old")).alias("label"),
+                (
+                    F.coalesce(F.col("new_label"), F.col("label_old"))
+                    != F.col("label_old")
+                ).alias("changed"),
+            )
+        )
+        new_state = truncate_lineage(new_state)
+        changed = new_state.filter("changed").count() if early_stop else None
+        state = new_state.select("id", "label")
+        info.record(step, t0, active=changed)
+        if checkpointer is not None:
+            checkpointer.maybe_checkpoint("lpa", step, state, active=changed)
+        if early_stop and changed == 0:
+            info.converged = True
+            break
+
+    info.supersteps = step
+    und.unpersist()
+    if checkpointer is not None:
+        checkpointer.finish("lpa", step, state)
+    return state, info

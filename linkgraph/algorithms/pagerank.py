@@ -1,0 +1,137 @@
+"""PageRank as Pregel supersteps over DataFrames (SURVEY §2.C C1).
+
+Pinned semantics (SURVEY §A.2, paper §5.1): d = 0.85, init 1/N, update
+`(1-d)/N + d·Σ msgs`; each vertex sends rank/outdeg along its
+out-edges; dangling vertices send nothing by default (`dangling="drop"`
+— the paper's program; `"redistribute"` spreads their mass uniformly,
+matching library conventions). Convergence: L1 delta < tol.
+
+Superstep plan (one Spark job):
+  scatter  B2: links ⋈ state on src  — links pre-partitioned P ways on
+              src and persisted once; state arrives partitioned on id
+              from the previous apply, so this is the only exchange of
+              state per superstep.
+  combine  B3: groupBy(dst).sum — partial aggregate runs map-side
+              (THE Pregel combiner); only combined sums shuffle
+              ("bounded per-superstep shuffle", BASELINE.json).
+  apply    B5: state left-outer ⋈ sums on id=dst — both sides hash-
+              partitioned P ways on the same key domain, so Catalyst
+              plans no extra exchange.
+  aggregate B7/B8: sum(|new-old|) — the delta accumulator; its
+              `first()` is the superstep barrier.
+
+Skew: in-degree skew is absorbed by the map-side partial sum (each
+task pre-merges its contributions to a hot dst before shuffling);
+out-degree skew in the scatter join is handled by AQE skew-join
+splitting (enabled in session.py). The explicit hot-vertex broadcast
+split (B12) lives in skew.py and is exercised by tests for parity.
+"""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from linkgraph.graph import Graph, out_degrees
+from linkgraph.pregel import RunInfo, truncate_lineage
+
+
+def pagerank(
+    graph: Graph,
+    d: float = 0.85,
+    tol: float = 1e-6,
+    max_supersteps: int = 100,
+    dangling: str = "drop",
+    checkpointer=None,
+) -> tuple[DataFrame, RunInfo]:
+    """Returns (state(id, rank), RunInfo). float64 end-to-end (§A.6)."""
+    assert dangling in ("drop", "redistribute")
+    spark = graph.edges.sparkSession
+    p = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    n = graph.num_vertices
+    base = (1.0 - d) / n
+
+    # Precompute once: out-edges with the sender's degree attached, so the
+    # per-superstep scatter is a single equi-join producing rank/outdeg.
+    deg = out_degrees(graph.edges).withColumnRenamed("id", "src")
+    links = (
+        graph.edges.join(deg, "src")
+        .select("src", "dst", "outdeg")
+        .repartition(p, "src")
+        .persist()
+    )
+    links.count()  # materialize before the loop
+
+    info = RunInfo("pagerank")
+    start_step = 0
+    state = None
+    if checkpointer is not None:
+        resumed = checkpointer.try_resume("pagerank")
+        if resumed is not None:
+            start_step, state = resumed
+    if state is None:
+        state = graph.vertices.select(
+            "id", F.lit(1.0 / n).cast("double").alias("rank")
+        )
+        state = truncate_lineage(state.repartition(p, "id"))
+
+    dangling_ids = None
+    if dangling == "redistribute":
+        dangling_ids = graph.vertices.join(
+            deg.withColumnRenamed("src", "id"), "id", "left_anti"
+        ).persist()
+
+    converged = False
+    step = start_step
+    for step in range(start_step + 1, max_supersteps + 1):
+        t0 = time.monotonic()
+        extra = 0.0
+        if dangling == "redistribute":
+            dm = (
+                state.join(dangling_ids, "id", "left_semi")
+                .agg(F.sum("rank").alias("m"))
+                .first()["m"]
+            )
+            extra = d * float(dm or 0.0) / n
+
+        contribs = (
+            links.join(state.withColumnRenamed("id", "src"), "src")
+            .select("dst", (F.col("rank") / F.col("outdeg")).alias("contrib"))
+        )
+        msgs = contribs.groupBy("dst").agg(F.sum("contrib").alias("msg"))
+        prev = state.select("id", F.col("rank").alias("rank_old"))
+        new_state = (
+            prev.join(msgs, prev["id"] == msgs["dst"], "left_outer")
+            .select(
+                "id",
+                "rank_old",
+                (
+                    F.lit(base + extra)
+                    + F.lit(d) * F.coalesce(F.col("msg"), F.lit(0.0))
+                ).alias("rank"),
+            )
+        )
+        new_state = truncate_lineage(new_state)
+        delta = float(
+            new_state.agg(
+                F.sum(F.abs(F.col("rank") - F.col("rank_old"))).alias("d")
+            ).first()["d"]
+        )
+        state = new_state.select("id", "rank")
+        info.record(step, t0, delta=delta)
+        if checkpointer is not None:
+            checkpointer.maybe_checkpoint("pagerank", step, state, delta=delta)
+        if delta < tol:
+            converged = True
+            break
+
+    info.converged = converged
+    info.supersteps = step
+    links.unpersist()
+    if dangling_ids is not None:
+        dangling_ids.unpersist()
+    if checkpointer is not None:
+        checkpointer.finish("pagerank", step, state)
+    return state, info

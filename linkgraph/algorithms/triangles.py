@@ -1,0 +1,114 @@
+"""Triangle counting — per-vertex and global (SURVEY §2.C C4, §A.4).
+
+Semantics: undirected simple graph; per-vertex count = number of
+triangles the vertex participates in; global total; vertices in no
+triangle report 0 (present in output).
+
+Plan (degree-ordered, the standard skew-robust scheme): orient every
+undirected edge from lower to higher rank under the total order
+(degree, id). Each triangle {a,b,c} with rank order a≺b≺c is then
+discovered exactly once — at edge (a,b), as the common out-neighbor c
+of a and b. Hub vertices in power-law graphs keep only their
+above-rank neighbors, so adjacency lists are short (O(√E) amortized)
+and no join row blows up. Everything is JVM-side DataFrame work
+(`sort_array(collect_list)`, `array_intersect`) — no Python boundary.
+
+Per-vertex credit: a triangle found at (a,b) with apex c credits a, b
+(the edge endpoints, +size each) and each apex (+1 via explode).
+Global = Σ commons.
+
+A second, SQL-expressible plan (3-way self-join on a<b<c edges) is
+exposed for the DuckDB oracle in __spark_entry__; tests assert both
+plans agree.
+"""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from linkgraph.graph import Graph, symmetrize
+from linkgraph.pregel import RunInfo
+
+
+def triangle_counts(graph: Graph) -> tuple[DataFrame, int, RunInfo]:
+    """Returns (per_vertex(id, triangles), global_count, RunInfo)."""
+    t0 = time.monotonic()
+    spark = graph.edges.sparkSession
+    p = int(spark.conf.get("spark.sql.shuffle.partitions"))
+
+    und = symmetrize(graph.edges)  # both directions, simple
+
+    # Orientation rank: (degree, id) totally orders vertices.
+    deg = und.groupBy(F.col("src").alias("id")).agg(F.count(F.lit(1)).alias("d"))
+    oriented = (
+        und.join(deg.select(F.col("id").alias("src"), F.col("d").alias("ds")), "src")
+        .join(deg.select(F.col("id").alias("dst"), F.col("d").alias("dd")), "dst")
+        .filter(
+            (F.col("dd") > F.col("ds"))
+            | ((F.col("dd") == F.col("ds")) & (F.col("dst") > F.col("src")))
+        )
+        .select("src", "dst")
+        .repartition(p, "src")
+    )
+    adj = oriented.groupBy(F.col("src").alias("id")).agg(
+        F.sort_array(F.collect_list("dst")).alias("nbrs")
+    )
+
+    au = adj.select(F.col("id").alias("u"), F.col("nbrs").alias("nbrs_u"))
+    av = adj.select(F.col("id").alias("v"), F.col("nbrs").alias("nbrs_v"))
+    wedges = (
+        oriented.select(F.col("src").alias("u"), F.col("dst").alias("v"))
+        .join(au, "u")
+        .join(av, "v")
+        .select(
+            "u",
+            "v",
+            F.array_intersect("nbrs_u", "nbrs_v").alias("apexes"),
+        )
+        .withColumn("c", F.size("apexes").cast("long"))
+        .filter(F.col("c") > 0)
+        .persist()
+    )
+
+    total_row = wedges.agg(F.sum("c").alias("s")).first()
+    total = int(total_row["s"] or 0)
+
+    credits = (
+        wedges.select(F.col("u").alias("id"), F.col("c").alias("t"))
+        .unionByName(wedges.select(F.col("v").alias("id"), F.col("c").alias("t")))
+        .unionByName(
+            wedges.select(F.explode("apexes").alias("id"), F.lit(1).cast("long").alias("t"))
+        )
+    )
+    sums = credits.groupBy("id").agg(F.sum("t").alias("triangles"))
+    per_vertex = (
+        graph.vertices.join(sums, "id", "left_outer")
+        .select(
+            "id",
+            F.coalesce(F.col("triangles"), F.lit(0)).cast("long").alias("triangles"),
+        )
+    )
+
+    info = RunInfo("triangles", supersteps=1, converged=True)
+    info.wall_s = time.monotonic() - t0
+    wedges.unpersist()
+    return per_vertex, total, info
+
+
+def triangles_sql_plan(graph: Graph) -> DataFrame:
+    """Global count via the 3-way self-join on a<b<c canonical edges —
+    the DuckDB-oracle-checkable form (SURVEY §5.2 test 7)."""
+    canon = (
+        symmetrize(graph.edges)
+        .select(F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b"))
+        .distinct()
+    )
+    e1 = canon.select(F.col("a").alias("x"), F.col("b").alias("y"))
+    e2 = canon.select(F.col("a").alias("y"), F.col("b").alias("z"))
+    e3 = canon.select(F.col("a").alias("x"), F.col("b").alias("z"))
+    return (
+        e1.join(e2, "y").join(e3, ["x", "z"]).agg(F.count(F.lit(1)).alias("triangles"))
+    )

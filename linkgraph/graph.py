@@ -1,0 +1,142 @@
+"""Graph construction operators (SURVEY.md §2.A A7–A12).
+
+The single source of truth is an *edge DataFrame* `edges(src: long,
+dst: long)` — adjacency is derived, never an object graph. All
+operators here are pure DataFrame compositions so Catalyst handles
+column pruning / pushdown; the only shuffles are the distinct/groupBy
+hash aggregates, each keyed on a vertex id so downstream joins reuse
+the partitioning.
+
+Scale notes:
+- `canonicalize` / `symmetrize` use `distinct()` = partial+final hash
+  aggregate (map-side combine absorbs duplicate edges before shuffle).
+- `assign_dense_ids` uses a single global window over the *vertex*
+  table (cardinality |V|, not |E|) — acceptable because |V| ≪ |E| for
+  link graphs; `monotonically_increasing_id` is rejected (values
+  depend on partitioning ⇒ not stable across runs, SURVEY §A.5).
+- degrees are one groupBy each and are meant to be computed once and
+  cached by callers (the superstep loop never recomputes them).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def canonicalize(edges: DataFrame) -> DataFrame:
+    """A7: drop self-loops, collapse duplicates → simple directed graph."""
+    return (
+        edges.select("src", "dst")
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+
+
+def vertices_of(edges: DataFrame) -> DataFrame:
+    """A8: distinct vertex set from both endpoints → (id: long)."""
+    return (
+        edges.select(F.col("src").alias("id"))
+        .unionByName(edges.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+
+
+def symmetrize(edges: DataFrame) -> DataFrame:
+    """A11: undirected view — each edge in both directions, deduped."""
+    rev = edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    return canonicalize(edges.select("src", "dst").unionByName(rev))
+
+
+def canonical_undirected(edges: DataFrame) -> DataFrame:
+    """A12: u < v canonical edge set for triangle counting."""
+    return (
+        edges.select(
+            F.least("src", "dst").alias("u"), F.greatest("src", "dst").alias("v")
+        )
+        .filter(F.col("u") < F.col("v"))
+        .distinct()
+    )
+
+
+def out_degrees(edges: DataFrame) -> DataFrame:
+    """A10: (id, outdeg) — only vertices with ≥1 out-edge appear."""
+    return edges.groupBy(F.col("src").alias("id")).agg(
+        F.count(F.lit(1)).alias("outdeg")
+    )
+
+
+def in_degrees(edges: DataFrame) -> DataFrame:
+    return edges.groupBy(F.col("dst").alias("id")).agg(
+        F.count(F.lit(1)).alias("indeg")
+    )
+
+
+def assign_dense_ids(names: DataFrame, col: str = "repo") -> DataFrame:
+    """A9: stable dense long ids by row_number over sorted names.
+
+    Returns (id: long, <col>: string). Deterministic across runs and
+    partition counts (SURVEY §A.5) — unlike monotonically_increasing_id.
+    """
+    w = Window.orderBy(F.col(col))
+    return names.select(col).distinct().select(
+        (F.row_number().over(w) - F.lit(1)).cast("long").alias("id"), F.col(col)
+    )
+
+
+def encode_edges(
+    edges_by_name: DataFrame, idmap: DataFrame, src: str = "src_repo", dst: str = "dst_repo"
+) -> DataFrame:
+    """Map string-keyed edges to dense long ids via two broadcast joins.
+
+    The id map has vertex cardinality (small relative to edges) so both
+    joins broadcast — no shuffle of the edge table.
+    """
+    src_ids = idmap.select(F.col("id").alias("src"), F.col("repo").alias(src))
+    dst_ids = idmap.select(F.col("id").alias("dst"), F.col("repo").alias(dst))
+    return (
+        edges_by_name.join(F.broadcast(src_ids), src)
+        .join(F.broadcast(dst_ids), dst)
+        .select("src", "dst")
+    )
+
+
+@dataclass
+class Graph:
+    """Bundle of the per-run cached graph artifacts.
+
+    `edges` is the simple directed edge set, repartitioned P ways on
+    src and persisted by `prepare` — the scatter join in every
+    superstep reuses this partitioning.
+    """
+
+    edges: DataFrame          # (src, dst) directed simple
+    vertices: DataFrame       # (id)
+    num_vertices: int
+    num_edges: int
+
+    @staticmethod
+    def prepare(raw_edges: DataFrame, partitions: int | None = None) -> "Graph":
+        spark = raw_edges.sparkSession
+        p = partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+        edges = (
+            canonicalize(raw_edges)
+            .withColumn("src", F.col("src").cast("long"))
+            .withColumn("dst", F.col("dst").cast("long"))
+            .repartition(p, "src")
+        )
+        edges.persist()
+        verts = vertices_of(edges).repartition(p, "id")
+        verts.persist()
+        return Graph(
+            edges=edges,
+            vertices=verts,
+            num_vertices=verts.count(),
+            num_edges=edges.count(),
+        )
+
+    def unpersist(self) -> None:
+        self.edges.unpersist()
+        self.vertices.unpersist()

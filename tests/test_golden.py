@@ -1,0 +1,113 @@
+"""Golden small-graph tests — exact committed numbers (FIXTURES.md §3)."""
+
+from __future__ import annotations
+
+import numpy as np
+import networkx as nx
+
+from linkgraph import fixtures as FX
+from linkgraph.algorithms import (
+    connected_components,
+    label_propagation,
+    pagerank,
+    sssp,
+    triangle_counts,
+)
+from linkgraph.algorithms.triangles import triangles_sql_plan
+
+
+def ranks_of(state_df, n):
+    rows = {r["id"]: r["rank"] for r in state_df.collect()}
+    return np.array([rows[i] for i in range(n)])
+
+
+def test_g1_pagerank(graph_builder):
+    g = graph_builder(FX.G1_EDGES)
+    state, info = pagerank(g, tol=1e-9, max_supersteps=100)
+    r = ranks_of(state, 4)
+    assert np.allclose(r, FX.G1_PR, atol=1e-6)
+    assert info.converged
+    assert abs(r.sum() - 1.0) < 1e-9
+
+
+def test_g1b_dangling_drop(graph_builder):
+    g = graph_builder(FX.G1B_EDGES, extra_vertices=[3])
+    state, info = pagerank(g, tol=1e-9, dangling="drop")
+    r = ranks_of(state, 4)
+    assert np.allclose(r, FX.G1B_PR_DROP, atol=1e-6)
+    assert abs(r.sum() - 0.7875) < 1e-6
+
+
+def test_g1b_dangling_redistribute(graph_builder):
+    g = graph_builder(FX.G1B_EDGES, extra_vertices=[3])
+    state, info = pagerank(g, tol=1e-9, dangling="redistribute")
+    r = ranks_of(state, 4)
+    assert np.allclose(r, FX.G1B_PR_REDIST, atol=1e-6)
+    assert abs(r.sum() - 1.0) < 1e-6
+
+
+def test_g2_components(graph_builder):
+    g = graph_builder(FX.G2_EDGES)
+    state, info = connected_components(g)
+    got = {r["id"]: r["comp"] for r in state.collect()}
+    assert got == FX.G2_COMPONENTS
+    assert info.converged
+
+
+def test_g2_triangles(graph_builder):
+    g = graph_builder(FX.G2_EDGES)
+    per_vertex, total, _ = triangle_counts(g)
+    got = {r["id"]: r["triangles"] for r in per_vertex.collect()}
+    assert got == FX.G2_TRIANGLES
+    assert total == 1
+    sql_total = triangles_sql_plan(g).first()["triangles"]
+    assert sql_total == 1
+
+
+def test_g2_lpa_parity_of_max_iter(graph_builder):
+    g = graph_builder(FX.G2_EDGES)
+    # odd max_iter → 3,4 oscillation lands on [..,4,3] (FIXTURES.md G2)
+    state, _ = label_propagation(g, max_iter=5, early_stop=False)
+    got = {r["id"]: r["label"] for r in state.collect()}
+    assert got == {0: 0, 1: 0, 2: 0, 3: 4, 4: 3}
+    oracle = FX.lpa_python(FX.G2_EDGES, 5, max_iter=5)
+    assert got == oracle
+    state, _ = label_propagation(g, max_iter=6, early_stop=False)
+    got = {r["id"]: r["label"] for r in state.collect()}
+    assert got == {0: 0, 1: 0, 2: 0, 3: 3, 4: 4}
+
+
+def test_g4_karate_pagerank_and_triangles(graph_builder):
+    G = nx.karate_club_graph()
+    edges = [(u, v) for u, v in G.edges()] + [(v, u) for u, v in G.edges()]
+    g = graph_builder(edges)
+    state, info = pagerank(g, tol=1e-9)
+    r = ranks_of(state, 34)
+    assert np.allclose(
+        r[:5], [0.09699729, 0.05287692, 0.05707851, 0.03585986, 0.02197795], atol=1e-6
+    )
+    top3 = list(np.argsort(-r)[:3])
+    assert top3 == [33, 0, 32]
+    per_vertex, total, _ = triangle_counts(g)
+    assert total == 45
+    nx_tri = nx.triangles(G)
+    got = {row["id"]: row["triangles"] for row in per_vertex.collect()}
+    assert got == nx_tri
+
+
+def test_g3_star(graph_builder):
+    g = graph_builder(FX.g3_star_edges(100))
+    state, _ = connected_components(g)
+    comps = {r["comp"] for r in state.collect()}
+    assert comps == {0}
+    _, total, _ = triangle_counts(g)
+    assert total == 4
+
+
+def test_sssp_chain(graph_builder):
+    g = graph_builder([(0, 1), (1, 2), (2, 3), (0, 3), (4, 0)])
+    state, info = sssp(g, source=0)
+    got = {r["id"]: r["dist"] for r in state.collect()}
+    assert got[0] == 0.0 and got[1] == 1.0 and got[2] == 2.0 and got[3] == 1.0
+    assert got[4] == float("inf")
+    assert info.converged
