@@ -34,13 +34,24 @@ def connected_components(
     und.count()
 
     info = RunInfo("connected_components")
-    state = truncate_lineage(
-        graph.vertices.select("id", F.col("id").alias("comp")).repartition(p, "id")
-    )
-    frontier = state  # superstep 0: every vertex is "changed"
+    start_step = 0
+    state = None
+    if checkpointer is not None:
+        resumed = checkpointer.try_resume("components")
+        if resumed is not None:
+            # Restart scatter from the full vertex set: min-propagation is
+            # confluent, so a too-large frontier costs one superstep, not
+            # correctness.
+            start_step, state = resumed
+            state = truncate_lineage(state.repartition(p, "id"))
+    if state is None:
+        state = truncate_lineage(
+            graph.vertices.select("id", F.col("id").alias("comp")).repartition(p, "id")
+        )
+    frontier = state  # superstep 0 (or resume): every vertex is "changed"
 
-    step = 0
-    for step in range(1, max_supersteps + 1):
+    step = start_step
+    for step in range(start_step + 1, max_supersteps + 1):
         t0 = time.monotonic()
         msgs = (
             und.join(frontier.withColumnRenamed("id", "src"), "src")
@@ -66,7 +77,9 @@ def connected_components(
         state = new_state.select("id", "comp")
         info.record(step, t0, active=active)
         if checkpointer is not None:
-            checkpointer.maybe_checkpoint("components", step, state, active=active)
+            cp = checkpointer.maybe_checkpoint("components", step, state, active=active)
+            if cp is not None:
+                state = cp
         if active == 0:
             info.converged = True
             break

@@ -37,12 +37,20 @@ def label_propagation(
     und.count()
 
     info = RunInfo("label_propagation")
-    state = truncate_lineage(
-        graph.vertices.select("id", F.col("id").alias("label")).repartition(p, "id")
-    )
+    start_step = 0
+    state = None
+    if checkpointer is not None:
+        resumed = checkpointer.try_resume("lpa")
+        if resumed is not None:
+            start_step, state = resumed
+            state = truncate_lineage(state.repartition(p, "id"))
+    if state is None:
+        state = truncate_lineage(
+            graph.vertices.select("id", F.col("id").alias("label")).repartition(p, "id")
+        )
 
-    step = 0
-    for step in range(1, max_iter + 1):
+    step = start_step
+    for step in range(start_step + 1, max_iter + 1):
         t0 = time.monotonic()
         msgs = und.join(state.withColumnRenamed("id", "src"), "src").select(
             "dst", "label"
@@ -75,7 +83,9 @@ def label_propagation(
         state = new_state.select("id", "label")
         info.record(step, t0, active=changed)
         if checkpointer is not None:
-            checkpointer.maybe_checkpoint("lpa", step, state, active=changed)
+            cp = checkpointer.maybe_checkpoint("lpa", step, state, active=changed)
+            if cp is not None:
+                state = cp
         if early_stop and changed == 0:
             info.converged = True
             break

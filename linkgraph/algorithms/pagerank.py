@@ -122,7 +122,9 @@ def pagerank(
         state = new_state.select("id", "rank")
         info.record(step, t0, delta=delta)
         if checkpointer is not None:
-            checkpointer.maybe_checkpoint("pagerank", step, state, delta=delta)
+            cp = checkpointer.maybe_checkpoint("pagerank", step, state, delta=delta)
+            if cp is not None:
+                state = cp  # durable read-back replaces in-memory state
         if delta < tol:
             converged = True
             break

@@ -1,0 +1,72 @@
+"""Corpus derivation tests (SURVEY §5.2 tests 5; M2 gate)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from linkgraph import fixtures as FX
+from linkgraph.corpus import (
+    corpus_checksum,
+    derive_edges,
+    extract_imports,
+    extract_imports_arrow,
+    resolve_edges,
+    unresolved_imports,
+    verify_corpus_invariant,
+)
+
+
+def _load(spark, R=30, Fn=5):
+    c = FX.gen_corpus(R, Fn)
+    corpus = spark.createDataFrame(c.files)
+    exports = spark.createDataFrame(c.exports)
+    expected_sha = spark.createDataFrame(c.row_sha256)
+    return c, corpus, exports, expected_sha
+
+
+def test_sha256_invariant(spark):
+    c, corpus, _, expected_sha = _load(spark)
+    assert verify_corpus_invariant(corpus, expected_sha) == 0
+    # tamper one row → exactly one mismatch
+    tampered = corpus.withColumn(
+        "content",
+        F.when(
+            (F.col("repo") == FX.repo_name(0)) & (F.col("path") == "src/f000.py"),
+            F.concat(F.col("content"), F.lit("x")),
+        ).otherwise(F.col("content")),
+    )
+    assert verify_corpus_invariant(tampered, expected_sha) == 1
+    n, h = corpus_checksum(corpus)
+    n2, h2 = corpus_checksum(tampered)
+    assert n == n2 == 30 * 5
+    assert h != h2
+
+
+def test_planted_edges_recovered_exactly(spark):
+    c, corpus, exports, _ = _load(spark)
+    edges_by_name, idmap, edges = derive_edges(corpus, exports)
+    got = {
+        (r["src_repo"], r["dst_repo"]) for r in edges_by_name.collect()
+    }
+    want = {tuple(t) for t in c.edges.itertuples(index=False)}
+    assert got == want
+    # dense encoding round-trips
+    assert idmap.count() == idmap.select("repo").distinct().count()
+    assert edges.count() == len(want)
+    # no unresolved imports in the synthetic corpus
+    imports = extract_imports(corpus)
+    assert unresolved_imports(imports, exports).count() == 0
+
+
+def test_arrow_extractor_matches_jvm(spark):
+    c, corpus, exports, _ = _load(spark, R=20, Fn=4)
+    jvm = resolve_edges(extract_imports(corpus), exports)
+    arrow = resolve_edges(extract_imports_arrow(corpus), exports)
+    assert {tuple(r) for r in jvm.collect()} == {tuple(r) for r in arrow.collect()}
+
+
+def test_hub_skew_planted(spark):
+    """Repo 0 (i % 97 == 0) must be a planted hub with deg R/10."""
+    c = FX.gen_corpus(R=100, F=2)
+    hub_edges = c.edges[c.edges.src_repo == FX.repo_name(0)]
+    assert len(hub_edges) == 10  # R/10, no self/dup in range

@@ -1,0 +1,77 @@
+"""Checkpoint / lineage / mid-iteration resume tests (SURVEY §5.2 test 4)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from linkgraph.algorithms import connected_components, pagerank
+from linkgraph.catalog import ParquetManifestCatalog
+from linkgraph.checkpoint import CheckpointManager
+from linkgraph import fixtures as FX
+
+
+@pytest.fixture()
+def catalog(spark, tmp_path):
+    return ParquetManifestCatalog(spark, str(tmp_path / "warehouse"))
+
+
+def ranks_of(state_df, n):
+    rows = {r["id"]: r["rank"] for r in state_df.collect()}
+    return np.array([rows[i] for i in range(n)])
+
+
+def test_catalog_snapshot_roundtrip(spark, catalog):
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string")
+    s1 = catalog.write_snapshot("t", df, meta={"k": 1})
+    s2 = catalog.write_snapshot("t", df.filter("id = 1"), meta={"k": 2})
+    assert catalog.read_snapshot("t").count() == 1          # latest
+    assert catalog.read_snapshot("t", s1.snapshot_id).count() == 2  # time travel
+    assert catalog.latest("t", lambda m: m["k"] == 1).snapshot_id == s1.snapshot_id
+
+
+def test_pagerank_resume_equals_uninterrupted(spark, catalog, graph_builder):
+    import networkx as nx
+
+    G = nx.karate_club_graph()
+    edges = [(u, v) for u, v in G.edges()] + [(v, u) for u, v in G.edges()]
+    g = graph_builder(edges)
+
+    # uninterrupted run
+    full_state, full_info = pagerank(g, tol=1e-9)
+    full = ranks_of(full_state, 34)
+
+    # interrupted: run only 12 supersteps with k=5 checkpointing
+    ck = CheckpointManager(catalog, run_id="r1", every=5)
+    _, info_a = pagerank(g, tol=1e-9, max_supersteps=12, checkpointer=ck)
+    assert info_a.supersteps == 12
+
+    # "crash": new checkpointer with same run id resumes from step 10
+    ck2 = CheckpointManager(catalog, run_id="r1", every=5)
+    resumed = ck2.try_resume("pagerank")
+    assert resumed is not None
+    # finish() at step 12 wrote the latest snapshot → resume at 12
+    assert resumed[0] == 12
+    state_b, info_b = pagerank(g, tol=1e-9, checkpointer=ck2)
+    got = ranks_of(state_b, 34)
+    # Not bit-identical: the parquet round-trip reorders rows, so float
+    # accumulation order in groupBy sums differs. 1e-12 is far below the
+    # 1e-6 correctness contract and catches any semantic divergence.
+    assert np.allclose(got, full, atol=1e-12)
+    assert info_b.supersteps == full_info.supersteps
+
+    # lineage rows exist for the checkpointed supersteps, contiguous cadence
+    steps = sorted(
+        {r["superstep"] for r in ck2.lineage().filter("algorithm='pagerank'").collect()}
+    )
+    assert steps[:3] == [5, 10, 12]
+
+
+def test_components_resume(spark, catalog, graph_builder):
+    g = graph_builder(FX.g3_star_edges(50))
+    ck = CheckpointManager(catalog, run_id="r2", every=1)
+    _, _ = connected_components(g, max_supersteps=1, checkpointer=ck)
+    ck2 = CheckpointManager(catalog, run_id="r2", every=1)
+    state, info = connected_components(g, checkpointer=ck2)
+    got = {r["id"]: r["comp"] for r in state.collect()}
+    assert set(got.values()) == {0}
