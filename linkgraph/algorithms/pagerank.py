@@ -45,6 +45,7 @@ def pagerank(
     max_supersteps: int = 100,
     dangling: str = "drop",
     checkpointer=None,
+    hot_threshold: int | None = None,
 ) -> tuple[DataFrame, RunInfo]:
     """Returns (state(id, rank), RunInfo). float64 end-to-end (§A.6)."""
     assert dangling in ("drop", "redistribute")
@@ -63,6 +64,15 @@ def pagerank(
         .persist()
     )
     links.count()  # materialize before the loop
+
+    hot_ids = None
+    if hot_threshold is not None:
+        from linkgraph.skew import hot_vertices
+
+        hot_ids = hot_vertices(
+            deg.select(F.col("src").alias("id"), "outdeg"), hot_threshold
+        ).persist()
+        hot_ids.count()
 
     info = RunInfo("pagerank")
     start_step = 0
@@ -96,10 +106,14 @@ def pagerank(
             )
             extra = d * float(dm or 0.0) / n
 
-        contribs = (
-            links.join(state.withColumnRenamed("id", "src"), "src")
-            .select("dst", (F.col("rank") / F.col("outdeg")).alias("contrib"))
-        )
+        if hot_ids is not None:
+            from linkgraph.skew import scatter_hot_broadcast
+
+            contribs = scatter_hot_broadcast(links, state, hot_ids)
+        else:
+            contribs = links.join(state.withColumnRenamed("id", "src"), "src").select(
+                "dst", (F.col("rank") / F.col("outdeg")).alias("contrib")
+            )
         msgs = contribs.groupBy("dst").agg(F.sum("contrib").alias("msg"))
         prev = state.select("id", F.col("rank").alias("rank_old"))
         new_state = (
@@ -132,6 +146,8 @@ def pagerank(
     info.converged = converged
     info.supersteps = step
     links.unpersist()
+    if hot_ids is not None:
+        hot_ids.unpersist()
     if dangling_ids is not None:
         dangling_ids.unpersist()
     if checkpointer is not None:

@@ -1,0 +1,187 @@
+"""CSR-packed per-partition adjacency + gather-scatter kernels (A13, M5).
+
+The north star requires adjacency stored as CSR-packed per-partition
+arrays with pandas-on-Arrow gather-scatter kernels alongside the pure
+DataFrame-join path. Layout:
+
+    csr(pk: int, vids: array<long>, indptr: array<long>,
+        indices: array<long>)
+
+one row per *logical partition* pk = pmod(xxhash64(src), P). We use an
+explicit, column-computable partition key (not Spark's internal
+murmur3 task partitioning) so the vertex-state side can be cogrouped
+by the exact same key — `cogroup().applyInPandas` then hands each
+kernel invocation its partition's CSR block AND the matching state
+rows, with no driver-side alignment.
+
+Scatter kernel (one numpy pass, no per-row Python):
+    outdeg  = diff(indptr)
+    contrib = rank[vids]/outdeg      (gather, via searchsorted)
+    msgs    = (indices, repeat(contrib, outdeg))   (scatter)
+Messages leave the kernel as an Arrow batch; the combine
+(`groupBy(dst).sum`) and apply stay JVM-side, identical to the join
+path — so both paths share combiner/apply semantics and must agree to
+float tolerance (tested).
+
+Scale: each CSR row holds one partition's out-edges; P is chosen so a
+partition's edges fit executor memory (the same constraint Spark's own
+shuffle imposes). `spark.sql.execution.arrow.maxRecordsPerBatch` does
+not bound applyInPandas group size — P does.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from linkgraph.graph import Graph
+from linkgraph.pregel import RunInfo, truncate_lineage
+
+CSR_SCHEMA = (
+    "pk int, vids array<long>, indptr array<long>, indices array<long>"
+)
+
+
+def partition_key(col, p: int):
+    """Deterministic logical partition id, reproducible on any column."""
+    return F.pmod(F.xxhash64(col), F.lit(p)).cast("int")
+
+
+def pack_csr(edges: DataFrame, p: int) -> DataFrame:
+    """A13: one CSR row per logical partition of the src space."""
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["src", "dst"])
+        src = pdf["src"].to_numpy(np.int64)
+        dst = pdf["dst"].to_numpy(np.int64)
+        vids, counts = np.unique(src, return_counts=True)
+        indptr = np.concatenate(([0], np.cumsum(counts)))
+        pk = int(pdf["pk"].iloc[0])
+        return pd.DataFrame(
+            {
+                "pk": [pk],
+                "vids": [vids.tolist()],
+                "indptr": [indptr.tolist()],
+                "indices": [dst.tolist()],
+            }
+        )
+
+    keyed = edges.select("src", "dst").withColumn("pk", partition_key(F.col("src"), p))
+    return keyed.groupBy("pk").applyInPandas(pack, schema=CSR_SCHEMA)
+
+
+def csr_stats(csr: DataFrame) -> DataFrame:
+    """Per-partition sizes — the B13 metrics view of the adjacency."""
+    return csr.select(
+        "pk",
+        F.size("vids").alias("n_vertices"),
+        F.size("indices").alias("n_edges"),
+    )
+
+
+def pagerank_csr(
+    graph: Graph,
+    d: float = 0.85,
+    tol: float = 1e-6,
+    max_supersteps: int = 100,
+    dangling: str = "drop",
+) -> tuple[DataFrame, RunInfo]:
+    """PageRank with the CSR gather-scatter kernel as the scatter stage.
+
+    Semantics identical to algorithms.pagerank (SURVEY §A.2); only the
+    physical scatter differs: cogrouped applyInPandas over (csr, state)
+    replaces the edges⋈state join.
+    """
+    assert dangling in ("drop", "redistribute")
+    spark = graph.edges.sparkSession
+    p = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    n = graph.num_vertices
+    base = (1.0 - d) / n
+
+    csr = pack_csr(graph.edges, p).persist()
+    csr.count()
+
+    def scatter(key, csr_pdf: pd.DataFrame, state_pdf: pd.DataFrame) -> pd.DataFrame:
+        if csr_pdf.empty or state_pdf.empty:
+            return pd.DataFrame({"dst": pd.Series(dtype="int64"),
+                                 "contrib": pd.Series(dtype="float64")})
+        vids = np.asarray(csr_pdf["vids"].iloc[0], dtype=np.int64)
+        indptr = np.asarray(csr_pdf["indptr"].iloc[0], dtype=np.int64)
+        indices = np.asarray(csr_pdf["indices"].iloc[0], dtype=np.int64)
+        sp = state_pdf.sort_values("id")
+        sids = sp["id"].to_numpy(np.int64)
+        ranks = sp["rank"].to_numpy(np.float64)
+        pos = np.searchsorted(sids, vids)
+        outdeg = np.diff(indptr)
+        contrib = ranks[pos] / outdeg
+        return pd.DataFrame(
+            {"dst": indices, "contrib": np.repeat(contrib, outdeg)}
+        )
+
+    info = RunInfo("pagerank_csr")
+    state = truncate_lineage(
+        graph.vertices.select("id", F.lit(1.0 / n).cast("double").alias("rank"))
+        .withColumn("pk", partition_key(F.col("id"), p))
+        .repartition(p, "pk")
+    )
+
+    deg_ids = graph.edges.select(F.col("src").alias("id")).distinct()
+    dangling_ids = None
+    if dangling == "redistribute":
+        dangling_ids = graph.vertices.join(deg_ids, "id", "left_anti").persist()
+
+    import time
+
+    converged = False
+    step = 0
+    for step in range(1, max_supersteps + 1):
+        t0 = time.monotonic()
+        extra = 0.0
+        if dangling == "redistribute":
+            dm = (
+                state.join(dangling_ids, "id", "left_semi")
+                .agg(F.sum("rank").alias("m"))
+                .first()["m"]
+            )
+            extra = d * float(dm or 0.0) / n
+
+        msgs = (
+            csr.groupBy("pk")
+            .cogroup(state.groupBy("pk"))
+            .applyInPandas(scatter, schema="dst long, contrib double")
+            .groupBy("dst")
+            .agg(F.sum("contrib").alias("msg"))
+        )
+        prev = state.select("id", "pk", F.col("rank").alias("rank_old"))
+        new_state = (
+            prev.join(msgs, prev["id"] == msgs["dst"], "left_outer")
+            .select(
+                "id",
+                "pk",
+                "rank_old",
+                (
+                    F.lit(base + extra)
+                    + F.lit(d) * F.coalesce(F.col("msg"), F.lit(0.0))
+                ).alias("rank"),
+            )
+        )
+        new_state = truncate_lineage(new_state)
+        delta = float(
+            new_state.agg(
+                F.sum(F.abs(F.col("rank") - F.col("rank_old"))).alias("d")
+            ).first()["d"]
+        )
+        state = new_state.select("id", "pk", "rank")
+        info.record(step, t0, delta=delta)
+        if delta < tol:
+            converged = True
+            break
+
+    info.converged = converged
+    info.supersteps = step
+    csr.unpersist()
+    if dangling_ids is not None:
+        dangling_ids.unpersist()
+    return state.select("id", "rank"), info
