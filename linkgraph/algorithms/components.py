@@ -53,26 +53,32 @@ def connected_components(
     step = start_step
     for step in range(start_step + 1, max_supersteps + 1):
         t0 = time.monotonic()
-        msgs = (
-            und.join(frontier.withColumnRenamed("id", "src"), "src")
-            .groupBy("dst")
-            .agg(F.min("comp").alias("msg"))
+        # fused combine+apply: one shuffle carries messages AND old labels
+        msgs = und.join(frontier.withColumnRenamed("id", "src"), "src").select(
+            "dst", F.col("comp").alias("msg"), F.lit(None).cast("long").alias("old")
         )
-        prev = state.select("id", F.col("comp").alias("comp_old"))
+        carried = state.select(
+            F.col("id").alias("dst"),
+            F.lit(None).cast("long").alias("msg"),
+            F.col("comp").alias("old"),
+        )
         new_state = (
-            prev.join(msgs, prev["id"] == msgs["dst"], "left_outer")
+            msgs.unionByName(carried)
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.min("msg").alias("m"), F.max("old").alias("o"))
             .select(
                 "id",
-                F.least(
-                    F.col("comp_old"), F.coalesce(F.col("msg"), F.col("comp_old"))
-                ).alias("comp"),
-                (F.coalesce(F.col("msg"), F.col("comp_old")) < F.col("comp_old")).alias(
-                    "changed"
-                ),
+                F.least(F.coalesce(F.col("m"), F.col("o")), F.col("o")).alias("comp"),
+                F.coalesce(F.col("m") < F.col("o"), F.lit(False)).alias("changed"),
             )
         )
-        new_state = truncate_lineage(new_state)
-        active = new_state.filter("changed").count()
+        new_state = truncate_lineage(new_state, eager=False)
+        active = int(
+            new_state.agg(
+                F.sum(F.col("changed").cast("long")).alias("a")
+            ).first()["a"]
+            or 0
+        )
         frontier = new_state.filter("changed").select("id", "comp")
         state = new_state.select("id", "comp")
         info.record(step, t0, active=active)

@@ -52,34 +52,59 @@ def label_propagation(
     step = start_step
     for step in range(start_step + 1, max_iter + 1):
         t0 = time.monotonic()
+        # fused: old labels ride the shuffle as zero-count marker rows —
+        # they win argmax ONLY when the vertex has no real messages
+        # (the "no neighbors keep label" rule), since any neighbor
+        # label has cnt ≥ 1 > 0.
         msgs = und.join(state.withColumnRenamed("id", "src"), "src").select(
-            "dst", "label"
+            "dst",
+            "label",
+            F.lit(1).cast("long").alias("c"),
+            F.lit(None).cast("long").alias("old"),
         )
-        counts = msgs.groupBy("dst", "label").agg(F.count(F.lit(1)).alias("cnt"))
+        carried = state.select(
+            F.col("id").alias("dst"),
+            "label",
+            F.lit(0).cast("long").alias("c"),
+            F.col("label").alias("old"),
+        )
+        counts = (
+            msgs.unionByName(carried)
+            .groupBy("dst", "label")
+            .agg(F.sum("c").alias("cnt"), F.max("old").alias("old"))
+        )
         # argmax by (cnt desc, label asc): max over struct(cnt, -label, label)
-        winners = counts.groupBy("dst").agg(
-            F.max(
-                F.struct(
-                    F.col("cnt").alias("c"),
-                    (-F.col("label")).alias("nl"),
-                    F.col("label").alias("l"),
-                )
-            ).alias("w")
-        ).select("dst", F.col("w.l").alias("new_label"))
-        prev = state.select("id", F.col("label").alias("label_old"))
         new_state = (
-            prev.join(winners, prev["id"] == winners["dst"], "left_outer")
+            counts.groupBy(F.col("dst").alias("id"))
+            .agg(
+                F.max(
+                    F.struct(
+                        F.col("cnt").alias("c"),
+                        (-F.col("label")).alias("nl"),
+                        F.col("label").alias("l"),
+                    )
+                ).alias("w"),
+                F.max("old").alias("label_old"),
+            )
             .select(
                 "id",
-                F.coalesce(F.col("new_label"), F.col("label_old")).alias("label"),
-                (
-                    F.coalesce(F.col("new_label"), F.col("label_old"))
-                    != F.col("label_old")
-                ).alias("changed"),
+                F.col("w.l").alias("label"),
+                (F.col("w.l") != F.col("label_old")).alias("changed"),
             )
         )
-        new_state = truncate_lineage(new_state)
-        changed = new_state.filter("changed").count() if early_stop else None
+        new_state = truncate_lineage(new_state, eager=False)
+        changed = (
+            int(
+                new_state.agg(F.sum(F.col("changed").cast("long")).alias("a")).first()[
+                    "a"
+                ]
+                or 0
+            )
+            if early_stop
+            else None
+        )
+        if not early_stop:
+            new_state.count()  # still materialize the lazy checkpoint
         state = new_state.select("id", "label")
         info.record(step, t0, active=changed)
         if checkpointer is not None:

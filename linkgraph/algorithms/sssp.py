@@ -49,26 +49,34 @@ def sssp(
     step = 0
     for step in range(1, max_supersteps + 1):
         t0 = time.monotonic()
-        msgs = (
-            edges.join(frontier.withColumnRenamed("id", "src"), "src")
-            .groupBy("dst")
-            .agg(F.min(F.col("dist") + F.col("w")).alias("msg"))
+        # fused combine+apply (see components.py)
+        msgs = edges.join(frontier.withColumnRenamed("id", "src"), "src").select(
+            "dst",
+            (F.col("dist") + F.col("w")).alias("msg"),
+            F.lit(None).cast("double").alias("old"),
         )
-        prev = state.select("id", F.col("dist").alias("dist_old"))
+        carried = state.select(
+            F.col("id").alias("dst"),
+            F.lit(None).cast("double").alias("msg"),
+            F.col("dist").alias("old"),
+        )
         new_state = (
-            prev.join(msgs, prev["id"] == msgs["dst"], "left_outer")
+            msgs.unionByName(carried)
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.min("msg").alias("m"), F.max("old").alias("o"))
             .select(
                 "id",
-                F.least(
-                    F.col("dist_old"), F.coalesce(F.col("msg"), F.col("dist_old"))
-                ).alias("dist"),
-                (F.coalesce(F.col("msg"), F.col("dist_old")) < F.col("dist_old")).alias(
-                    "changed"
-                ),
+                F.least(F.coalesce(F.col("m"), F.col("o")), F.col("o")).alias("dist"),
+                F.coalesce(F.col("m") < F.col("o"), F.lit(False)).alias("changed"),
             )
         )
-        new_state = truncate_lineage(new_state)
-        active = new_state.filter("changed").count()
+        new_state = truncate_lineage(new_state, eager=False)
+        active = int(
+            new_state.agg(
+                F.sum(F.col("changed").cast("long")).alias("a")
+            ).first()["a"]
+            or 0
+        )
         frontier = new_state.filter("changed").select("id", "dist")
         state = new_state.select("id", "dist")
         info.record(step, t0, active=active)

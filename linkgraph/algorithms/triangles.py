@@ -33,8 +33,14 @@ from linkgraph.graph import Graph, symmetrize
 from linkgraph.pregel import RunInfo
 
 
-def triangle_counts(graph: Graph) -> tuple[DataFrame, int, RunInfo]:
-    """Returns (per_vertex(id, triangles), global_count, RunInfo)."""
+def triangle_counts(
+    graph: Graph, per_vertex: bool = True
+) -> tuple[DataFrame | None, int, RunInfo]:
+    """Returns (per_vertex(id, triangles) | None, global_count, RunInfo).
+
+    per_vertex=False skips the apex-credit explode — on very dense
+    graphs the credits stream is 3× the triangle count, which can dwarf
+    the counting itself; the global total never materializes it."""
     t0 = time.monotonic()
     spark = graph.edges.sparkSession
     p = int(spark.conf.get("spark.sql.shuffle.partitions"))
@@ -75,6 +81,12 @@ def triangle_counts(graph: Graph) -> tuple[DataFrame, int, RunInfo]:
 
     total_row = wedges.agg(F.sum("c").alias("s")).first()
     total = int(total_row["s"] or 0)
+
+    if not per_vertex:
+        info = RunInfo("triangles", supersteps=1, converged=True)
+        info.wall_s = time.monotonic() - t0
+        wedges.unpersist()
+        return None, total, info
 
     credits = (
         wedges.select(F.col("u").alias("id"), F.col("c").alias("t"))

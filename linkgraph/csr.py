@@ -147,27 +147,28 @@ def pagerank_csr(
             )
             extra = d * float(dm or 0.0) / n
 
-        msgs = (
+        # fused combine+apply (same trick as algorithms/pagerank.py)
+        contribs = (
             csr.groupBy("pk")
             .cogroup(state.groupBy("pk"))
             .applyInPandas(scatter, schema="dst long, contrib double")
-            .groupBy("dst")
-            .agg(F.sum("contrib").alias("msg"))
+            .withColumn("old", F.lit(0.0))
         )
-        prev = state.select("id", "pk", F.col("rank").alias("rank_old"))
+        carried = state.select(
+            F.col("id").alias("dst"),
+            F.lit(0.0).alias("contrib"),
+            F.col("rank").alias("old"),
+        )
         new_state = (
-            prev.join(msgs, prev["id"] == msgs["dst"], "left_outer")
-            .select(
-                "id",
-                "pk",
-                "rank_old",
-                (
-                    F.lit(base + extra)
-                    + F.lit(d) * F.coalesce(F.col("msg"), F.lit(0.0))
-                ).alias("rank"),
+            contribs.unionByName(carried)
+            .groupBy(F.col("dst").alias("id"))
+            .agg(
+                (F.lit(base + extra) + F.lit(d) * F.sum("contrib")).alias("rank"),
+                F.sum("old").alias("rank_old"),
             )
+            .withColumn("pk", partition_key(F.col("id"), p))
         )
-        new_state = truncate_lineage(new_state)
+        new_state = truncate_lineage(new_state, eager=False)
         delta = float(
             new_state.agg(
                 F.sum(F.abs(F.col("rank") - F.col("rank_old"))).alias("d")

@@ -140,3 +140,16 @@ class Graph:
     def unpersist(self) -> None:
         self.edges.unpersist()
         self.vertices.unpersist()
+
+    # B14 topology mutation (paper §3.4): none of the v0 algorithms
+    # mutate topology mid-run, but the operators exist for callers that
+    # rebuild the graph between supersteps / runs. Both return a NEW
+    # prepared Graph — state under BSP must only see a consistent graph
+    # at superstep boundaries, so mutation is a barrier operation.
+    def add_edges(self, new_edges: DataFrame) -> "Graph":
+        return Graph.prepare(self.edges.unionByName(new_edges.select("src", "dst")))
+
+    def remove_edges(self, gone_edges: DataFrame) -> "Graph":
+        return Graph.prepare(
+            self.edges.join(gone_edges.select("src", "dst"), ["src", "dst"], "left_anti")
+        )

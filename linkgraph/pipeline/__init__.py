@@ -1,0 +1,46 @@
+"""Large-scale training-data pipeline operators over the corpus/
+documents tables: deduplication, similarity search, text analysis.
+
+These are first-class engine components alongside the graph
+algorithms: at 10^12-file scale the corpus feeding the link graph
+needs dedup (exact + near), similarity search over embeddings, and
+text quality scoring before any graph is derived. All operators are
+DataFrame-first (JVM expressions); Python appears only as Arrow-
+batched kernels where Spark lacks a primitive.
+"""
+
+from linkgraph.pipeline.dedup import (
+    exact_duplicates,
+    dedup_exact,
+    shingles,
+    minhash_signatures,
+    lsh_candidate_pairs,
+    ngram_jaccard_pairs,
+    simhash_bits,
+)
+from linkgraph.pipeline.similarity import cosine_topk, ivf_build, ivf_topk
+from linkgraph.pipeline.textstats import (
+    token_count_col,
+    text_stats,
+    quality_score,
+    language_id,
+    fingerprint_col,
+)
+
+__all__ = [
+    "exact_duplicates",
+    "dedup_exact",
+    "shingles",
+    "minhash_signatures",
+    "lsh_candidate_pairs",
+    "ngram_jaccard_pairs",
+    "simhash_bits",
+    "cosine_topk",
+    "ivf_build",
+    "ivf_topk",
+    "token_count_col",
+    "text_stats",
+    "quality_score",
+    "language_id",
+    "fingerprint_col",
+]

@@ -1,0 +1,207 @@
+"""Deduplication operators: exact, MinHash+LSH, n-gram Jaccard, SimHash.
+
+Scale design:
+- exact: one hash-aggregate on sha256(text) — map-side partial count
+  absorbs duplicate-heavy partitions; `dedup_keep_first` uses min_by
+  (no window, no sort).
+- MinHash: signatures are computed WITHOUT a per-hash-function shuffle:
+  each shingle row carries an array of H hashes
+  (`transform(sequence(0,H-1), i -> xxhash64(shingle, i))`), and one
+  groupBy(doc) computes all H mins as separate aggregates. One shuffle
+  total, H-independent.
+- LSH: band signature = xxhash64 over a signature slice; candidate
+  generation is a self-join on (band, band_hash) — only docs sharing a
+  band bucket ever meet, which is the whole point at 10^12 docs.
+- n-gram Jaccard: exact verification for candidate pairs (explode
+  distinct shingles, count intersection vs union).
+- SimHash: 64 weighted-bit sums per doc in a single aggregate pass
+  (array of 64 sum() columns), no Python.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def exact_duplicates(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Groups of byte-identical texts: (content_sha256, n_docs) with n>1."""
+    return (
+        df.groupBy(F.sha2(F.col(text_col), 256).alias("content_sha256"))
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+def dedup_exact(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Keep the smallest id per identical content — min_by, not a window."""
+    keep = (
+        df.groupBy(F.sha2(F.col(text_col), 256).alias("h"))
+        .agg(F.min(F.col(id_col)).alias(id_col))
+        .select(id_col)
+    )
+    return df.join(keep, id_col, "left_semi")
+
+
+def shingles(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 5
+) -> DataFrame:
+    """Distinct character k-gram shingles per doc: (id, shingle).
+
+    Pure JVM: sequence + transform + explode + distinct. The text is
+    lowercased; shingling the raw column keeps the operator streaming
+    (no Python).
+    """
+    grams = F.expr(
+        f"transform(sequence(1, greatest(length(lower({text_col})) - {k - 1}, 1)), "
+        f"i -> substring(lower({text_col}), i, {k}))"
+    )
+    return (
+        df.select(F.col(id_col).alias("id"), F.explode(grams).alias("shingle"))
+        .filter(F.length("shingle") == k)
+        .distinct()
+    )
+
+
+def minhash_signatures(
+    sh: DataFrame, num_hashes: int = 16
+) -> DataFrame:
+    """(id, sig: array<long>) — MinHash signature from a shingle table.
+
+    h_i(shingle) = xxhash64(shingle, i); sig[i] = min over shingles.
+    All H mins are computed by ONE aggregation (H agg columns), so the
+    cost is one shuffle on id regardless of H.
+    """
+    hashed = sh.select(
+        "id",
+        *[
+            F.xxhash64(F.col("shingle"), F.lit(i)).alias(f"h{i}")
+            for i in range(num_hashes)
+        ],
+    )
+    sig = hashed.groupBy("id").agg(
+        *[F.min(f"h{i}").alias(f"m{i}") for i in range(num_hashes)]
+    )
+    return sig.select(
+        "id", F.array(*[F.col(f"m{i}") for i in range(num_hashes)]).alias("sig")
+    )
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame, bands: int = 4
+) -> DataFrame:
+    """Candidate near-dup pairs (id_a < id_b) sharing ≥1 LSH band.
+
+    Band hash = xxhash64 of the band's signature slice. The self-join
+    is keyed on (band, band_hash) — docs never compare across buckets.
+    """
+    sig_len_row = signatures.select(F.size("sig").alias("n")).first()
+    if sig_len_row is None:
+        return signatures.sparkSession.createDataFrame([], "id_a long, id_b long")
+    rows_per_band = int(sig_len_row["n"]) // bands
+    banded = signatures.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            F.concat_ws(
+                                ",",
+                                *[
+                                    F.element_at("sig", b * rows_per_band + r + 1)
+                                    for r in range(rows_per_band)
+                                ],
+                            )
+                        ).alias("bh"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
+    a = banded.select(F.col("id").alias("id_a"), "band", "bh")
+    b = banded.select(F.col("id").alias("id_b"), "band", "bh")
+    return (
+        a.join(b, ["band", "bh"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    sh: DataFrame, pairs: DataFrame | None = None, threshold: float = 0.0
+) -> DataFrame:
+    """Exact Jaccard over shingle sets: (id_a, id_b, jaccard).
+
+    With `pairs` given (LSH candidates), only those pairs are scored —
+    a semi-join keeps the shingle explosion bounded. Without, all pairs
+    sharing ≥1 shingle are scored (exact, small corpora only).
+    """
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    a = sh.select(F.col("id").alias("id_a"), "shingle")
+    b = sh.select(F.col("id").alias("id_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    if pairs is not None:
+        inter = inter.join(pairs, ["id_a", "id_b"], "left_semi")
+    scored = (
+        inter.join(sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sa")), "id_a")
+        .join(sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sb")), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (F.col("i") / (F.col("sa") + F.col("sb") - F.col("i"))).alias("jaccard"),
+        )
+    )
+    return scored.filter(F.col("jaccard") >= threshold)
+
+
+def simhash_bits(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", nbits: int = 64
+) -> DataFrame:
+    """(id, simhash_bits: array<int>) — classic SimHash over whitespace
+    tokens, computed as nbits sum-aggregates in one pass (no Python).
+
+    bit b of token-hash votes +1/-1; the sign of the summed vote is the
+    output bit. Near-dup distance = hamming(simhash_a, simhash_b) via
+    `zip_with` + filter.
+    """
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("tok"),
+    ).filter(F.length("tok") > 0)
+    h = toks.select("id", F.xxhash64("tok").alias("th"))
+    votes = h.groupBy("id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("th"), b).bitwiseAND(F.lit(1)) == 1, 1)
+                .otherwise(-1)
+            ).alias(f"b{b}")
+            for b in range(nbits)
+        ]
+    )
+    return votes.select(
+        "id",
+        F.array(
+            *[
+                F.when(F.col(f"b{b}") > 0, F.lit(1)).otherwise(F.lit(0))
+                for b in range(nbits)
+            ]
+        ).alias("simhash_bits"),
+    )
+
+
+def hamming(a, b):
+    """Column expr: hamming distance between two bit arrays."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: F.abs(x - y)),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    )

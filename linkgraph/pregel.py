@@ -22,14 +22,15 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame
 
 
-def truncate_lineage(df: DataFrame) -> DataFrame:
-    """Materialize df and cut its logical plan (B1 plan-growth control).
+def truncate_lineage(df: DataFrame, eager: bool = True) -> DataFrame:
+    """Cut df's logical plan via localCheckpoint (B1 plan-growth control).
 
-    eager=True forces computation now, so the following delta
-    aggregation reads the cached blocks instead of recomputing the
-    superstep — and the next superstep's plan starts from a leaf.
+    eager=False is the fast path inside superstep loops: the checkpoint
+    materializes lazily inside the SAME job as the delta/active
+    aggregation that follows — one Spark action per superstep instead
+    of two, which matters when supersteps are overhead-bound.
     """
-    return df.localCheckpoint(eager=True)
+    return df.localCheckpoint(eager=eager)
 
 
 @dataclass

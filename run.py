@@ -1,0 +1,149 @@
+#!/usr/bin/env python
+"""CLI entry point — the spark-submit path (SURVEY §3.4).
+
+Production:
+    spark-submit --py-files linkgraph.zip run.py \
+        --algo pagerank --corpus <iceberg-table-or-parquet-dir> \
+        --exports <manifest> --warehouse <catalog-root> \
+        --run-id r42 --checkpoint-every 5 --out <table>
+
+In-sandbox (no cluster manager): the same script runs under plain
+python with --master local[N]. Resume: re-invoke with the same
+--run-id and --warehouse; the checkpoint manager finds the latest
+committed superstep and continues (B10).
+
+Build the py-files zip with:  python run.py --make-zip linkgraph.zip
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def make_zip(path: str) -> None:
+    import os
+    import zipfile
+
+    root = os.path.dirname(os.path.abspath(__file__))
+    with zipfile.ZipFile(path, "w") as z:
+        for dirpath, _, files in os.walk(os.path.join(root, "linkgraph")):
+            for f in files:
+                if f.endswith(".py"):
+                    full = os.path.join(dirpath, f)
+                    z.write(full, os.path.relpath(full, root))
+    print(f"wrote {path}")
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--make-zip")
+    ap.add_argument("--algo", choices=["pagerank", "components", "lpa", "triangles", "sssp"])
+    ap.add_argument("--corpus", help="corpus table: parquet dir (or synth:R,F)")
+    ap.add_argument("--exports", help="exports manifest parquet (omit for synth)")
+    ap.add_argument("--edges", help="pre-built edge table parquet (skips derivation)")
+    ap.add_argument("--warehouse", default="/tmp/linkgraph-warehouse")
+    ap.add_argument("--out", help="output table name in the warehouse")
+    ap.add_argument("--run-id", default="run0")
+    ap.add_argument("--checkpoint-every", type=int, default=5)
+    ap.add_argument("--master", default=None)
+    ap.add_argument("--partitions", type=int, default=None)
+    ap.add_argument("--tol", type=float, default=1e-6)
+    ap.add_argument("--max-supersteps", type=int, default=100)
+    ap.add_argument("--dangling", default="drop", choices=["drop", "redistribute"])
+    ap.add_argument("--source", type=int, default=0, help="sssp source vertex")
+    args = ap.parse_args()
+
+    if args.make_zip:
+        make_zip(args.make_zip)
+        return
+    if not args.algo:
+        ap.error("--algo is required (or --make-zip)")
+
+    from linkgraph.session import get_spark
+
+    spark = get_spark(app=f"linkgraph-{args.algo}", master=args.master,
+                      partitions=args.partitions)
+    from linkgraph.catalog import get_catalog
+    from linkgraph.checkpoint import CheckpointManager
+    from linkgraph.corpus import corpus_checksum, derive_edges
+    from linkgraph.graph import Graph
+
+    catalog = get_catalog(spark, args.warehouse)
+    ck = CheckpointManager(catalog, run_id=args.run_id, every=args.checkpoint_every)
+
+    t0 = time.monotonic()
+    if args.edges:
+        edges = spark.read.parquet(args.edges)
+    elif args.corpus and args.corpus.startswith("synth:"):
+        r, f = (int(x) for x in args.corpus[6:].split(","))
+        from linkgraph import fixtures as FX
+
+        c = FX.gen_corpus(R=r, F=f)
+        corpus = spark.createDataFrame(c.files)
+        exports = spark.createDataFrame(c.exports)
+        _, idmap, edges = derive_edges(corpus, exports)
+    elif args.corpus:
+        corpus = spark.read.parquet(args.corpus)
+        exports = spark.read.parquet(args.exports)
+        n, h = corpus_checksum(corpus)  # A2 invariant, recorded per run
+        print(json.dumps({"corpus_rows": n, "corpus_checksum": h}))
+        _, idmap, edges = derive_edges(corpus, exports)
+    else:
+        ap.error("need --edges or --corpus")
+        return
+
+    g = Graph.prepare(edges)
+    summary: dict = {
+        "algo": args.algo,
+        "run_id": args.run_id,
+        "vertices": g.num_vertices,
+        "edges": g.num_edges,
+    }
+
+    if args.algo == "pagerank":
+        from linkgraph.algorithms import pagerank
+
+        state, info = pagerank(
+            g, tol=args.tol, max_supersteps=args.max_supersteps,
+            dangling=args.dangling, checkpointer=ck,
+        )
+    elif args.algo == "components":
+        from linkgraph.algorithms import connected_components
+
+        state, info = connected_components(
+            g, max_supersteps=args.max_supersteps, checkpointer=ck
+        )
+    elif args.algo == "lpa":
+        from linkgraph.algorithms import label_propagation
+
+        state, info = label_propagation(g, max_iter=10, checkpointer=ck)
+    elif args.algo == "sssp":
+        from linkgraph.algorithms import sssp
+
+        state, info = sssp(g, source=args.source, max_supersteps=args.max_supersteps)
+    else:  # triangles
+        from linkgraph.algorithms import triangle_counts
+
+        state, total, info = triangle_counts(g)
+        summary["triangles_total"] = total
+
+    wall = time.monotonic() - t0
+    if args.out:
+        catalog.write_snapshot(args.out, state, meta={"run_id": args.run_id})
+    summary.update(
+        {
+            "supersteps": info.supersteps,
+            "converged": info.converged,
+            "wall_s": round(wall, 3),
+            "edges_per_sec": round(g.num_edges * max(info.supersteps, 1) / wall, 1),
+        }
+    )
+    print(json.dumps(summary))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

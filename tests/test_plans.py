@@ -1,0 +1,107 @@
+"""Physical-plan quality gates: the scale properties SURVEY §4 promises
+must be visible in explain() output, not just intended.
+
+These tests pin: (1) parquet column pruning + predicate pushdown reach
+the scan, (2) the Pregel combiner exists as a map-side partial
+aggregate before the exchange, (3) the exports-manifest resolution
+join broadcasts (the import stream must never shuffle), (4) top-k
+plans as TakeOrderedAndProject, not a global sort.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from linkgraph import fixtures as FX
+from linkgraph.corpus import extract_imports, resolve_edges
+from linkgraph.graph import Graph, out_degrees
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def optimized_of(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+@pytest.fixture(scope="module")
+def corpus_parquet(spark, tmp_path_factory):
+    p = str(tmp_path_factory.mktemp("corpus") / "files.parquet")
+    c = FX.gen_corpus(R=30, F=3)
+    spark.createDataFrame(c.files).write.mode("overwrite").parquet(p)
+    return p, c
+
+
+def test_scan_prunes_columns_and_pushes_filters(spark, corpus_parquet):
+    path, _ = corpus_parquet
+    corpus = spark.read.parquet(path)
+    q = corpus.filter(F.col("lang") == "python").select("repo", "lang")
+    plan = plan_of(q)
+    assert "PushedFilters: [IsNotNull(lang), EqualTo(lang,python)]" in plan
+    # content (the fat column) must NOT be read for this projection
+    assert "ReadSchema: struct<repo:string,lang:string>" in plan
+
+
+def test_extraction_reads_only_needed_columns(spark, corpus_parquet):
+    path, _ = corpus_parquet
+    corpus = spark.read.parquet(path)
+    plan = plan_of(extract_imports(corpus))
+    # pruned to the three columns the extractor touches — commit/path dropped
+    assert "path" not in plan.split("ReadSchema")[1][:120]
+
+
+def test_combine_has_mapside_partial_aggregate(spark, graph_builder):
+    g = graph_builder(FX.G1_EDGES)
+    deg = out_degrees(g.edges)
+    plan = plan_of(deg)
+    # partial_count before the exchange, final count after = Pregel combiner
+    assert "partial_count" in plan
+    assert plan.index("partial_count") > plan.index("count(1)")
+
+
+def test_resolution_join_is_broadcast(spark, corpus_parquet):
+    path, c = corpus_parquet
+    corpus = spark.read.parquet(path)
+    exports = spark.createDataFrame(c.exports)
+    plan = plan_of(resolve_edges(extract_imports(corpus), exports))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan  # the import stream never shuffles here
+
+
+def test_topk_is_take_ordered(spark, graph_builder):
+    g = graph_builder(FX.g3_star_edges(50))
+    q = out_degrees(g.edges).orderBy(F.desc("outdeg")).limit(5)
+    assert "TakeOrderedAndProject" in plan_of(q)
+
+
+def test_superstep_shuffle_is_bounded(spark, graph_builder):
+    """The fused superstep must contain exactly ONE exchange over the
+    message stream (the combine) in its live plan — no apply-join
+    exchange. Cached/checkpointed subtrees are excluded."""
+    g = graph_builder(FX.G1_EDGES)
+    n = g.num_vertices
+    p = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    deg = out_degrees(g.edges).withColumnRenamed("id", "src")
+    links = g.edges.join(deg, "src").select("src", "dst", "outdeg").persist()
+    links.count()
+    state = g.vertices.select("id", F.lit(1.0 / n).alias("rank")).localCheckpoint()
+    contribs = links.join(state.withColumnRenamed("id", "src"), "src").select(
+        "dst", (F.col("rank") / F.col("outdeg")).alias("contrib"),
+        F.lit(0.0).alias("old"),
+    )
+    carried = state.select(
+        F.col("id").alias("dst"), F.lit(0.0).alias("contrib"),
+        F.col("rank").alias("old"),
+    )
+    new_state = (
+        contribs.unionByName(carried)
+        .groupBy(F.col("dst").alias("id"))
+        .agg(F.sum("contrib").alias("rank"), F.sum("old").alias("rank_old"))
+    )
+    plan = plan_of(new_state)
+    live = plan.split("InMemoryRelation")[0]  # strip cached-plan printouts
+    n_exchanges = live.count("Exchange hashpartitioning")
+    assert n_exchanges <= 1, f"superstep live plan has {n_exchanges} exchanges:\n{live}"
+    links.unpersist()
