@@ -150,6 +150,34 @@ def run_suite(spark, sf_dir: str) -> tuple[dict, dict]:
     return queries, meta
 
 
+def _cluster_session(executors: int, cores_per_executor: int = 8):
+    """Session against the local standalone cluster (see cluster.sh):
+    N executor JVMs × 8 cores — real executor processes, netty shuffle,
+    per-executor heaps. The honest in-sandbox rendering of 'N vs 4N
+    executors'."""
+    import sys as _sys
+
+    os.environ.setdefault("PYSPARK_PYTHON", _sys.executable)
+    from pyspark.sql import SparkSession
+
+    total = executors * cores_per_executor
+    return (
+        SparkSession.builder.master("spark://127.0.0.1:7077")
+        .appName(f"bench-exec{executors}")
+        .config("spark.cores.max", str(total))
+        .config("spark.executor.cores", str(cores_per_executor))
+        .config("spark.executor.memory", os.environ.get("SPARK_GRAFT_EXEC_MEM", "18g"))
+        .config("spark.sql.shuffle.partitions", str(max(8, total)))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
+        .config("spark.ui.enabled", "false")
+        .config("spark.local.dir", "/dev/shm/spark-local")
+        .getOrCreate()
+    )
+
+
 def pagerank_throughput(cpus: int, graph_mode: str = "corpus") -> dict:
     """PageRank throughput at one parallelism level, JIT-warmed.
 
@@ -165,12 +193,17 @@ def pagerank_throughput(cpus: int, graph_mode: str = "corpus") -> dict:
     from linkgraph.graph import Graph
     from pyspark.sql import functions as F
 
-    spark = _session(cpus)
+    if os.environ.get("SPARK_GRAFT_CLUSTER") == "1":
+        # cpus is interpreted as total cores; executors = cpus / 8
+        spark = _cluster_session(max(1, cpus // 8))
+    else:
+        spark = _session(cpus)
     try:
         if graph_mode == "corpus":
-            g = _corpus_graph(spark, R=50000, Fn=1)
+            g = _corpus_graph(spark, R=int(os.environ.get("SPARK_GRAFT_SCALING_R", "50000")), Fn=1)
         else:
-            V, Edg = 2_000_000, 20_000_000
+            V = int(os.environ.get("SPARK_GRAFT_SCALING_VERTS", "2000000"))
+            Edg = int(os.environ.get("SPARK_GRAFT_SCALING_EDGES", "20000000"))
             edges = spark.range(0, Edg).select(
                 F.pmod(F.xxhash64(F.col("id")), F.lit(V)).alias("src"),
                 F.pmod(F.xxhash64(F.col("id") + F.lit(10**9)), F.lit(V)).alias("dst"),
@@ -188,6 +221,7 @@ def pagerank_throughput(cpus: int, graph_mode: str = "corpus") -> dict:
         tail = [s.wall_s for s in info.log[5:]]
         wall = sum(tail)
         n_steps = len(tail)
+        min_step = min(tail)
         return {
             "cpus": cpus,
             "graph": graph_mode,
@@ -197,16 +231,32 @@ def pagerank_throughput(cpus: int, graph_mode: str = "corpus") -> dict:
             "steady_wall_s": round(wall, 3),
             "supersteps_per_sec": round(n_steps / wall, 4),
             "edges_per_sec": round(g.num_edges * n_steps / wall, 1),
+            # min-step = noise-robust estimator on a shared box: the
+            # fastest superstep is the least-interfered one
+            "min_step_s": round(min_step, 3),
+            "peak_edges_per_sec": round(g.num_edges / min_step, 1),
         }
     finally:
         spark.stop()
 
 
 def scaling_report(lo: int = 8, hi: int = 32) -> dict:
+    """Each measurement runs in a FRESH subprocess: PySpark reuses one
+    JVM across SparkSession restarts inside a process, so driver-memory
+    and GC state would otherwise leak between the N and 4N runs."""
+    import subprocess
+
+    def one(cpus: int, mode: str) -> dict:
+        r = subprocess.run(
+            [sys.executable, __file__, "--throughput", str(cpus), mode],
+            capture_output=True, text=True, check=True,
+        )
+        return json.loads(r.stdout.strip().splitlines()[-1])
+
     out = {}
     for mode in ("corpus", "uniform"):
-        a = pagerank_throughput(lo, mode)
-        b = pagerank_throughput(hi, mode)
+        a = one(lo, mode)
+        b = one(hi, mode)
         eff = (b["edges_per_sec"] / a["edges_per_sec"]) / (hi / lo)
         out[mode] = {"low": a, "high": b, "scaling_efficiency": round(eff, 4)}
     return out
@@ -217,6 +267,10 @@ def main() -> None:
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 32))
     sf = sf_dir.rstrip("/").split("sf")[-1]
 
+    if "--throughput" in sys.argv:
+        i = sys.argv.index("--throughput")
+        print(json.dumps(pagerank_throughput(int(sys.argv[i + 1]), sys.argv[i + 2])))
+        return
     if "--scaling" in sys.argv:
         rep = scaling_report()
         print(json.dumps({"scaling": rep, "sf": sf}))
