@@ -172,6 +172,20 @@ def q_triangles_pervertex(spark, sf_dir):  # C4 engine plan vs SQL credits
     return per_vertex.select(F.col("id"), "triangles")
 
 
+def q_sssp_hops(spark, sf_dir):  # C5 SSSP vs recursive-CTE oracle
+    from linkgraph.algorithms import sssp
+    from linkgraph.graph import Graph
+
+    e = _copurchase_edges(spark, sf_dir)
+    src = e.agg(F.min("src")).first()[0]  # deterministic source
+    g = Graph.prepare(e)
+    state, _ = sssp(g, source=int(src))
+    return (
+        state.filter(~F.isnan("dist") & (F.col("dist") != float("inf")))
+        .select("id", F.col("dist").cast("long").alias("hops"))
+    )
+
+
 def q_events_daily(spark, sf_dir):  # D9: date functions + agg
     return (
         _t(spark, sf_dir, "events")
@@ -377,6 +391,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank_step1": q_pagerank_step1,
         "components_min_label": q_components_min_label,
         "triangles_pervertex": q_triangles_pervertex,
+        "sssp_hops": q_sssp_hops,
         "events_daily": q_events_daily,
         "events_json": q_events_json,
         "doc_dedup_stats": q_doc_dedup_stats,
@@ -449,6 +464,16 @@ def oracle_sql() -> dict[str, str]:
             "cnt AS (SELECT id, count(*) AS t FROM cr GROUP BY id) "
             "SELECT v.id AS id, CAST(coalesce(cnt.t, 0) AS BIGINT) AS triangles "
             "FROM v LEFT JOIN cnt ON v.id = cnt.id"
+        ),
+        "sssp_hops": (
+            f"WITH RECURSIVE e AS ({_COPURCHASE_SQL}), "
+            "s AS (SELECT min(src) AS v FROM e), "
+            "r(id, hops) AS ("
+            "  SELECT v, 0 FROM s "
+            "  UNION "
+            "  SELECT e.dst, r.hops + 1 FROM r JOIN e ON e.src = r.id "
+            "  WHERE r.hops < 50) "
+            "SELECT id, CAST(min(hops) AS BIGINT) AS hops FROM r GROUP BY id"
         ),
         "events_daily": (
             "SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type, "
