@@ -30,7 +30,12 @@ def connected_components(
     """Returns (state(id, comp), RunInfo). comp = min vertex id reachable."""
     spark = graph.edges.sparkSession
     p = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    und = symmetrize(graph.edges).repartition(p, "src").persist()
+    und = (
+        symmetrize(graph.edges)
+        .repartition(p, "src")
+        .sortWithinPartitions("src")  # pre-sorted cache: no per-superstep sort
+        .persist()
+    )
     und.count()
 
     info = RunInfo("connected_components")

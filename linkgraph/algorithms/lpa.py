@@ -33,7 +33,12 @@ def label_propagation(
     """Returns (state(id, label), RunInfo)."""
     spark = graph.edges.sparkSession
     p = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    und = symmetrize(graph.edges).repartition(p, "src").persist()
+    und = (
+        symmetrize(graph.edges)
+        .repartition(p, "src")
+        .sortWithinPartitions("src")  # pre-sorted cache: no per-superstep sort
+        .persist()
+    )
     und.count()
 
     info = RunInfo("label_propagation")

@@ -60,10 +60,14 @@ def pagerank(
     # Precompute once: out-edges with the sender's degree attached, so the
     # per-superstep scatter is a single equi-join producing rank/outdeg.
     deg = out_degrees(graph.edges).withColumnRenamed("id", "src")
+    # sortWithinPartitions: the cached relation keeps its ordering, so
+    # the per-superstep sort-merge scatter join never re-sorts the |E|
+    # side — only the |V| state side sorts (verified in test_plans).
     links = (
         graph.edges.join(deg, "src")
         .select("src", "dst", "outdeg")
         .repartition(p, "src")
+        .sortWithinPartitions("src")
         .persist()
     )
     links.count()  # materialize before the loop

@@ -32,7 +32,7 @@ def sssp(
         edges = edges.select("src", "dst", F.lit(1.0).alias("w"))
     else:
         edges = edges.select("src", "dst", F.col(weight_col).cast("double").alias("w"))
-    edges = edges.repartition(p, "src").persist()
+    edges = edges.repartition(p, "src").sortWithinPartitions("src").persist()
     edges.count()
 
     info = RunInfo("sssp")

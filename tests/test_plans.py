@@ -76,6 +76,34 @@ def test_topk_is_take_ordered(spark, graph_builder):
     assert "TakeOrderedAndProject" in plan_of(q)
 
 
+def test_sorted_cache_skips_edge_sort(spark):
+    """A src-sorted cached edge table must join sort-free on the edge
+    side — the per-superstep O(|E| log |E|) sort would otherwise repeat
+    every iteration at scale."""
+    from pyspark.sql import functions as F
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        edges = spark.range(0, 10000).select(
+            (F.col("id") % 100).alias("src"), ((F.col("id") * 7) % 100).alias("dst")
+        )
+        state = spark.range(0, 100).select(
+            F.col("id").alias("src"), F.lit(0.5).alias("rank")
+        ).localCheckpoint()
+        links = edges.repartition(8, "src").sortWithinPartitions("src").persist()
+        links.count()
+        # the section before the first InMemoryRelation is the edge-side
+        # subtree of the SMJ — it must contain NO Sort (the state side,
+        # printed later, still sorts; that's |V|, not |E|)
+        live = plan_of(links.join(state, "src")).split("InMemoryRelation")[0]
+        assert "SortMergeJoin" in live
+        assert live.count("Sort [") == 0, live
+        links.unpersist()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
 def test_superstep_shuffle_is_bounded(spark, graph_builder):
     """The fused superstep must contain exactly ONE exchange over the
     message stream (the combine) in its live plan — no apply-join
