@@ -222,6 +222,15 @@ def q_doc_dedup_stats(spark, sf_dir):  # pipeline: exact dedup (A2 sha256)
     )
 
 
+def q_dedup_keep_first(spark, sf_dir):  # pipeline: dedup_exact (min_by)
+    from linkgraph.pipeline.dedup import dedup_exact
+
+    d = _t(spark, sf_dir, "documents")
+    return dedup_exact(d).groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs_after_dedup")
+    )
+
+
 def q_doc_fingerprints(spark, sf_dir):  # pipeline: fingerprinting
     from linkgraph.pipeline.textstats import fingerprint_col
 
@@ -395,6 +404,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_daily": q_events_daily,
         "events_json": q_events_json,
         "doc_dedup_stats": q_doc_dedup_stats,
+        "dedup_keep_first": q_dedup_keep_first,
         "doc_fingerprints": q_doc_fingerprints,
         "doc_token_stats": q_doc_token_stats,
         "doc_quality": q_doc_quality,
@@ -489,6 +499,12 @@ def oracle_sql() -> dict[str, str]:
             "count(DISTINCT sha256(text)) AS n_distinct, "
             "count(*) - count(DISTINCT sha256(text)) AS n_dup_docs "
             "FROM documents"
+        ),
+        "dedup_keep_first": (
+            "WITH k AS (SELECT min(doc_id) AS doc_id FROM documents "
+            "GROUP BY sha256(text)) "
+            "SELECT d.lang, count(*) AS n_docs_after_dedup "
+            "FROM documents d JOIN k USING (doc_id) GROUP BY d.lang"
         ),
         "doc_fingerprints": (
             "SELECT source, count(DISTINCT md5(substr("

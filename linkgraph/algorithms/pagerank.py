@@ -50,7 +50,15 @@ def pagerank(
     checkpointer=None,
     hot_threshold: int | None = None,
 ) -> tuple[DataFrame, RunInfo]:
-    """Returns (state(id, rank), RunInfo). float64 end-to-end (§A.6)."""
+    """Returns (state(id, rank), RunInfo). float64 end-to-end (§A.6).
+
+    Note (negative result, measured): chaining k supersteps lazily
+    between barriers to amortize driver latency is a 5.7× REGRESSION —
+    each superstep's output is referenced twice (scatter input + the
+    carried-old branch), so an unmaterialized chain recomputes the
+    subtree ~2^k times. One materializing barrier per superstep is the
+    correct structure; Pregel's barrier is not overhead to skip.
+    """
     assert dangling in ("drop", "redistribute")
     spark = graph.edges.sparkSession
     p = int(spark.conf.get("spark.sql.shuffle.partitions"))
@@ -100,9 +108,35 @@ def pagerank(
             deg.withColumnRenamed("src", "id"), "id", "left_anti"
         ).persist()
 
+    def one_superstep(cur: DataFrame, extra: float) -> DataFrame:
+        """Build one lazy superstep plan: (id, rank, rank_old)."""
+        if hot_ids is not None:
+            from linkgraph.skew import scatter_hot_broadcast
+
+            contribs = scatter_hot_broadcast(links, cur, hot_ids)
+        else:
+            contribs = links.join(cur.withColumnRenamed("id", "src"), "src").select(
+                "dst", (F.col("rank") / F.col("outdeg")).alias("contrib")
+            )
+        # fused combine+apply: old ranks ride the same shuffle as markers
+        carried = cur.select(
+            F.col("id").alias("dst"),
+            F.lit(0.0).alias("contrib"),
+            F.col("rank").alias("old"),
+        )
+        return (
+            contribs.withColumn("old", F.lit(0.0))
+            .unionByName(carried)
+            .groupBy(F.col("dst").alias("id"))
+            .agg(
+                (F.lit(base + extra) + F.lit(d) * F.sum("contrib")).alias("rank"),
+                F.sum("old").alias("rank_old"),
+            )
+        )
+
     converged = False
     step = start_step
-    for step in range(start_step + 1, max_supersteps + 1):
+    while step < max_supersteps and not converged:
         t0 = time.monotonic()
         extra = 0.0
         if dangling == "redistribute":
@@ -113,29 +147,7 @@ def pagerank(
             )
             extra = d * float(dm or 0.0) / n
 
-        if hot_ids is not None:
-            from linkgraph.skew import scatter_hot_broadcast
-
-            contribs = scatter_hot_broadcast(links, state, hot_ids)
-        else:
-            contribs = links.join(state.withColumnRenamed("id", "src"), "src").select(
-                "dst", (F.col("rank") / F.col("outdeg")).alias("contrib")
-            )
-        # fused combine+apply: old ranks ride the same shuffle as markers
-        carried = state.select(
-            F.col("id").alias("dst"),
-            F.lit(0.0).alias("contrib"),
-            F.col("rank").alias("old"),
-        )
-        new_state = (
-            contribs.withColumn("old", F.lit(0.0))
-            .unionByName(carried)
-            .groupBy(F.col("dst").alias("id"))
-            .agg(
-                (F.lit(base + extra) + F.lit(d) * F.sum("contrib")).alias("rank"),
-                F.sum("old").alias("rank_old"),
-            )
-        )
+        new_state = one_superstep(state, extra)
         # lazy checkpoint: the delta agg below materializes it in one job
         new_state = truncate_lineage(new_state, eager=False)
         delta = float(
@@ -144,6 +156,7 @@ def pagerank(
             ).first()["d"]
         )
         state = new_state.select("id", "rank")
+        step += 1
         info.record(step, t0, delta=delta)
         if checkpointer is not None:
             cp = checkpointer.maybe_checkpoint("pagerank", step, state, delta=delta)
@@ -151,7 +164,6 @@ def pagerank(
                 state = cp  # durable read-back replaces in-memory state
         if delta < tol:
             converged = True
-            break
 
     info.converged = converged
     info.supersteps = step
