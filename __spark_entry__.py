@@ -186,6 +186,36 @@ def q_sssp_hops(spark, sf_dir):  # C5 SSSP vs recursive-CTE oracle
     )
 
 
+def q_sales_cube(spark, sf_dir):  # D4: grouping sets / cube
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+        )
+    )
+
+
+def q_running_revenue(spark, sf_dir):  # D6: window frame (running sum)
+    w = (
+        Window.partitionBy("l_suppkey")
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.select(
+            "l_suppkey",
+            "l_orderkey",
+            "l_linenumber",
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).over(w), 4
+            ).alias("running_revenue"),
+        )
+    )
+
+
 def q_events_daily(spark, sf_dir):  # D9: date functions + agg
     return (
         _t(spark, sf_dir, "events")
@@ -401,6 +431,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "components_min_label": q_components_min_label,
         "triangles_pervertex": q_triangles_pervertex,
         "sssp_hops": q_sssp_hops,
+        "sales_cube": q_sales_cube,
+        "running_revenue": q_running_revenue,
         "events_daily": q_events_daily,
         "events_json": q_events_json,
         "doc_dedup_stats": q_doc_dedup_stats,
@@ -484,6 +516,19 @@ def oracle_sql() -> dict[str, str]:
             "  SELECT e.dst, r.hops + 1 FROM r JOIN e ON e.src = r.id "
             "  WHERE r.hops < 50) "
             "SELECT id, CAST(min(hops) AS BIGINT) AS hops FROM r GROUP BY id"
+        ),
+        "sales_cube": (
+            "SELECT l_returnflag, l_linestatus, count(*) AS n, "
+            "round(sum(l_quantity), 4) AS sum_qty "
+            "FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)"
+        ),
+        "running_revenue": (
+            "SELECT l_suppkey, l_orderkey, l_linenumber, "
+            "round(sum(l_extendedprice * (1 - l_discount)) OVER ("
+            "PARTITION BY l_suppkey "
+            "ORDER BY l_shipdate, l_orderkey, l_linenumber "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) "
+            "AS running_revenue FROM lineitem"
         ),
         "events_daily": (
             "SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type, "
