@@ -70,3 +70,30 @@ def test_hub_skew_planted(spark):
     c = FX.gen_corpus(R=100, F=2)
     hub_edges = c.edges[c.edges.src_repo == FX.repo_name(0)]
     assert len(hub_edges) == 10  # R/10, no self/dup in range
+
+
+def test_dirty_corpus_robustness(spark):
+    """Unknown langs are filtered; null/empty content must not crash the
+    extraction pipeline (ANSI mode makes silent-null bugs loud)."""
+    import pandas as pd
+
+    c = FX.gen_corpus(R=6, Fn=2) if False else FX.gen_corpus(6, 2)
+    dirty = pd.concat(
+        [
+            c.files,
+            pd.DataFrame(
+                [
+                    ("org9999/repo9999", "src/x.rs", "c" * 40, "rust", "use repo0001_pkg;"),
+                    ("org9998/repo9998", "src/y.py", "c" * 40, "python", ""),
+                    ("org9997/repo9997", "src/z.py", "c" * 40, "python", None),
+                ],
+                columns=c.files.columns,
+            ),
+        ]
+    )
+    corpus = spark.createDataFrame(dirty)
+    exports = spark.createDataFrame(c.exports)
+    edges_by_name, idmap, edges = derive_edges(corpus, exports)
+    got = {(r["src_repo"], r["dst_repo"]) for r in edges_by_name.collect()}
+    want = {tuple(t) for t in c.edges.itertuples(index=False)}
+    assert got == want  # rust row filtered, empty/null python rows yield nothing
