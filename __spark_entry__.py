@@ -348,15 +348,79 @@ def q_knn_cosine(spark, sf_dir):  # pipeline: brute-force cosine top-k
     )
 
 
-# ---- rows-only entries (no SQL equivalent; tests carry correctness)
+# ---- iterative fixpoints, oracle-checked by unrolling K supersteps
+# into chained DuckDB CTEs (each CTE is exactly one superstep's SQL).
+# Running the engine with tol=0 / early_stop=False pins the superstep
+# count to K on both sides; integer ops are exact and float aggregates
+# are rounded at 6 dp (cross-engine summation-order ulps are ~1e-15).
+
+PR_K = 12  # supersteps unrolled in the PageRank driver oracle
+LPA_K = 5  # iterations unrolled in the LPA driver oracle
 
 
-def q_pagerank_copurchase(spark, sf_dir):  # C1 full fixpoint
+def _pagerank_oracle_sql(k: int, limit: int = 50) -> str:
+    """K supersteps of PageRank (d=0.85, dangling=drop) as chained CTEs.
+
+    Matches algorithms/pagerank.py superstep-for-superstep: s0 = 1/N,
+    s_i = (1-d)/N + d * sum over in-edges of s_{i-1}(src)/outdeg(src).
+    (1-d) is spelled as a double subtraction so both engines produce
+    the same IEEE value (1.0-0.85 != 0.15 exactly)."""
+    parts = [
+        f"WITH e AS ({_COPURCHASE_SQL}), ",
+        "v AS (SELECT src AS id FROM e UNION SELECT dst FROM e), ",
+        "nn AS (SELECT count(*) AS n FROM v), ",
+        "deg AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src), ",
+        "led AS (SELECT e.src, e.dst, d.outdeg FROM e JOIN deg d ON e.src = d.src), ",
+        "s0 AS (SELECT v.id, CAST(1 AS DOUBLE) / nn.n AS pr FROM v CROSS JOIN nn)",
+    ]
+    for i in range(1, k + 1):
+        parts.append(
+            f", m{i} AS (SELECT l.dst AS id, sum(s.pr / l.outdeg) AS c "
+            f"FROM led l JOIN s{i - 1} s ON l.src = s.id GROUP BY l.dst)"
+            f", s{i} AS (SELECT v.id, "
+            "(CAST(1 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / nn.n "
+            "+ CAST(0.85 AS DOUBLE) * coalesce(m.c, CAST(0 AS DOUBLE)) AS pr "
+            f"FROM v CROSS JOIN nn LEFT JOIN m{i} m ON v.id = m.id)"
+        )
+    parts.append(
+        f" SELECT id, round(pr, 6) AS pr FROM s{k} "
+        f"ORDER BY pr DESC, id ASC LIMIT {limit}"
+    )
+    return "".join(parts)
+
+
+def _lpa_oracle_sql(iters: int) -> str:
+    """K sync-LPA iterations as chained CTEs (argmax = row_number over
+    (cnt DESC, label ASC) — the engine's pinned tie-break, §A.3).
+    Integer-exact, so the comparison is bitwise."""
+    parts = [
+        f"WITH e AS ({_COPURCHASE_SQL}), ",
+        "und AS (SELECT src, dst FROM e UNION SELECT dst AS src, src AS dst FROM e), ",
+        "v AS (SELECT src AS id FROM e UNION SELECT dst FROM e), ",
+        "l0 AS (SELECT id, id AS label FROM v)",
+    ]
+    for i in range(1, iters + 1):
+        parts.append(
+            f", c{i} AS (SELECT u.dst AS id, s.label, count(*) AS cnt "
+            f"FROM und u JOIN l{i - 1} s ON u.src = s.id GROUP BY u.dst, s.label)"
+            f", w{i} AS (SELECT id, label FROM (SELECT id, label, "
+            "row_number() OVER (PARTITION BY id ORDER BY cnt DESC, label ASC) AS rn "
+            f"FROM c{i}) t WHERE rn = 1)"
+            f", l{i} AS (SELECT p.id, coalesce(w.label, p.label) AS label "
+            f"FROM l{i - 1} p LEFT JOIN w{i} w ON p.id = w.id)"
+        )
+    parts.append(
+        f" SELECT label, count(*) AS community_size FROM l{iters} GROUP BY label"
+    )
+    return "".join(parts)
+
+
+def q_pagerank_copurchase(spark, sf_dir):  # C1, fixed PR_K supersteps
     from linkgraph.algorithms import pagerank
     from linkgraph.graph import Graph
 
     g = Graph.prepare(_copurchase_edges(spark, sf_dir))
-    state, _ = pagerank(g, tol=1e-6)
+    state, _ = pagerank(g, tol=0.0, max_supersteps=PR_K)
     return (
         state.select("id", F.round("rank", 6).alias("pr"))
         .orderBy(F.desc("pr"), F.asc("id"))
@@ -369,7 +433,7 @@ def q_pagerank_csr_kernel(spark, sf_dir):  # C1 via CSR gather-scatter kernel
     from linkgraph.graph import Graph
 
     g = Graph.prepare(_copurchase_edges(spark, sf_dir))
-    state, _ = pagerank_csr(g, tol=1e-6)
+    state, _ = pagerank_csr(g, tol=0.0, max_supersteps=PR_K)
     return (
         state.select("id", F.round("rank", 6).alias("pr"))
         .orderBy(F.desc("pr"), F.asc("id"))
@@ -377,12 +441,12 @@ def q_pagerank_csr_kernel(spark, sf_dir):  # C1 via CSR gather-scatter kernel
     )
 
 
-def q_lpa_copurchase(spark, sf_dir):  # C3 sync LPA, fixed 5 iters
+def q_lpa_copurchase(spark, sf_dir):  # C3 sync LPA, fixed LPA_K iters
     from linkgraph.algorithms import label_propagation
     from linkgraph.graph import Graph
 
     g = Graph.prepare(_copurchase_edges(spark, sf_dir))
-    state, _ = label_propagation(g, max_iter=5, early_stop=False)
+    state, _ = label_propagation(g, max_iter=LPA_K, early_stop=False)
     return state.groupBy("label").agg(F.count(F.lit(1)).alias("community_size"))
 
 
@@ -617,4 +681,7 @@ def oracle_sql() -> dict[str, str]:
             "CAST(embedding AS DOUBLE[]), q.qv), 6) AS cosine "
             "FROM embeddings, q ORDER BY cosine DESC, vec_id ASC LIMIT 10"
         ),
+        "pagerank_copurchase": _pagerank_oracle_sql(PR_K),
+        "pagerank_csr_kernel": _pagerank_oracle_sql(PR_K),
+        "lpa_copurchase": _lpa_oracle_sql(LPA_K),
     }
