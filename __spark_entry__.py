@@ -415,6 +415,61 @@ def _lpa_oracle_sql(iters: int) -> str:
     return "".join(parts)
 
 
+def _md5num(expr: str) -> str:
+    """DuckDB spelling of the portable 60-bit hash (dedup.hash64
+    mode="portable"): top 15 md5 hex digits as a BIGINT."""
+    return f"CAST('0x' || substr(md5({expr}), 1, 15) AS BIGINT)"
+
+
+def _minhash_oracle_sql(k: int = 5, num_hashes: int = 16, bands: int = 4) -> str:
+    """Full MinHash+LSH candidate set in SQL: k-gram shingles → H
+    portable hashes → per-doc mins → band hashes → bucket self-join.
+    Integer-exact vs the Spark portable-mode path."""
+    rpb = num_hashes // bands
+    hash_cols = ", ".join(
+        _md5num(f"s || ':{i}'") + f" AS h{i}" for i in range(num_hashes)
+    )
+    mins = ", ".join(f"min(h{i}) AS m{i}" for i in range(num_hashes))
+    band_selects = " UNION ALL ".join(
+        f"SELECT id, {b} AS band, "
+        + _md5num(
+            " || ',' || ".join(f"CAST(m{b * rpb + r} AS VARCHAR)" for r in range(rpb))
+        )
+        + " AS bh FROM sig"
+        for b in range(bands)
+    )
+    return (
+        "WITH ex AS (SELECT doc_id, lower(text) AS lt, "
+        "unnest(generate_series(1, "
+        f"greatest(length(lower(text)) - {k - 1}, 1))) AS i FROM documents), "
+        f"sh AS (SELECT DISTINCT doc_id AS id, substr(lt, i, {k}) AS s FROM ex "
+        f"WHERE length(substr(lt, i, {k})) = {k}), "
+        f"hashed AS (SELECT id, {hash_cols} FROM sh), "
+        f"sig AS (SELECT id, {mins} FROM hashed GROUP BY id), "
+        f"banded AS ({band_selects}) "
+        "SELECT DISTINCT a.id AS id_a, b.id AS id_b FROM banded a "
+        "JOIN banded b ON a.band = b.band AND a.bh = b.bh AND a.id < b.id"
+    )
+
+
+def _simhash_oracle_sql(nbits: int = 64) -> str:
+    """Per-doc SimHash popcount in SQL: portable token hash, one
+    +1/-1 vote aggregate per bit, sign → bit, sum of bits."""
+    votes = ", ".join(
+        f"sum(CASE WHEN (th >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS b{b}"
+        for b in range(nbits)
+    )
+    pop = " + ".join(f"(CASE WHEN b{b} > 0 THEN 1 ELSE 0 END)" for b in range(nbits))
+    return (
+        "WITH t AS (SELECT doc_id AS id, "
+        "unnest(string_split_regex(lower(text), '\\s+')) AS tok FROM documents), "
+        "h AS (SELECT id, " + _md5num("tok") + " AS th FROM t "
+        "WHERE length(tok) > 0), "
+        f"v AS (SELECT id, {votes} FROM h GROUP BY id) "
+        f"SELECT id, CAST({pop} AS INT) AS popcount FROM v"
+    )
+
+
 def q_pagerank_copurchase(spark, sf_dir):  # C1, fixed PR_K supersteps
     from linkgraph.algorithms import pagerank
     from linkgraph.graph import Graph
@@ -451,6 +506,10 @@ def q_lpa_copurchase(spark, sf_dir):  # C3 sync LPA, fixed LPA_K iters
 
 
 def q_minhash_lsh_candidates(spark, sf_dir):  # pipeline: MinHash+LSH near-dup
+    # hash_mode="portable" (md5-prefix 60-bit) so the FULL candidate
+    # set is integer-exactly reproducible by the DuckDB oracle;
+    # production default stays xxhash64 (same plan shape, tested equal
+    # on the planted-near-dup fixture).
     from linkgraph.pipeline.dedup import (
         lsh_candidate_pairs,
         minhash_signatures,
@@ -459,17 +518,21 @@ def q_minhash_lsh_candidates(spark, sf_dir):  # pipeline: MinHash+LSH near-dup
 
     d = _t(spark, sf_dir, "documents")
     sh = shingles(d, id_col="doc_id", text_col="text", k=5)
-    sig = minhash_signatures(sh, num_hashes=16)
-    return lsh_candidate_pairs(sig, bands=4)
+    sig = minhash_signatures(sh, num_hashes=16, hash_mode="portable")
+    return lsh_candidate_pairs(sig, bands=4, hash_mode="portable")
 
 
 def q_ann_ivf(spark, sf_dir):  # pipeline: IVF-bucketed approximate NN
+    # nprobe = n_centroids exercises the full IVF path (build, Lloyd,
+    # probe ordering, bucket union) at recall 1.0 — so the result must
+    # EQUAL exact brute-force top-k, giving the path a real oracle
+    # (the knn_cosine SQL). nprobe < C recall is covered by tests.
     from linkgraph.pipeline.similarity import ivf_build, ivf_topk
 
     emb = _t(spark, sf_dir, "embeddings")
     qvec = [float(x) for x in emb.filter("vec_id = 0").first()["embedding"]]
     assigned, cents = ivf_build(emb, n_centroids=8, lloyd_iters=1)
-    return ivf_topk(assigned, cents, qvec, k=10, nprobe=3).select(
+    return ivf_topk(assigned, cents, qvec, k=10, nprobe=8).select(
         "vec_id", F.round("cosine", 6).alias("cosine")
     )
 
@@ -478,7 +541,7 @@ def q_simhash_sample(spark, sf_dir):  # pipeline: SimHash fingerprints
     from linkgraph.pipeline.dedup import simhash_bits
 
     d = _t(spark, sf_dir, "documents")
-    bits = simhash_bits(d, nbits=64)
+    bits = simhash_bits(d, nbits=64, hash_mode="portable")
     return bits.select(
         "id", F.aggregate("simhash_bits", F.lit(0), lambda a, b: a + b).alias("popcount")
     )
@@ -684,4 +747,14 @@ def oracle_sql() -> dict[str, str]:
         "pagerank_copurchase": _pagerank_oracle_sql(PR_K),
         "pagerank_csr_kernel": _pagerank_oracle_sql(PR_K),
         "lpa_copurchase": _lpa_oracle_sql(LPA_K),
+        "minhash_lsh_candidates": _minhash_oracle_sql(),
+        "simhash_sample": _simhash_oracle_sql(),
+        # nprobe=C IVF == exact brute-force cosine top-k (same SQL)
+        "ann_ivf": (
+            "WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv "
+            "FROM embeddings WHERE vec_id = 0) "
+            "SELECT vec_id, round(list_cosine_similarity("
+            "CAST(embedding AS DOUBLE[]), q.qv), 6) AS cosine "
+            "FROM embeddings, q ORDER BY cosine DESC, vec_id ASC LIMIT 10"
+        ),
     }

@@ -20,8 +20,32 @@ Scale design:
 
 from __future__ import annotations
 
+import warnings
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+
+def hash64(col, seed: int | None = None, mode: str = "xxhash64"):
+    """64-bit column hash in one of two modes.
+
+    - "xxhash64" (default): Spark's native xxhash64 — fastest, used in
+      production paths.
+    - "portable": the top 60 bits of md5 as a BIGINT
+      (`conv(substr(md5(x || ':seed'), 1, 15), 16, 10)`), reproducible
+      in any engine with md5() — DuckDB spells it
+      `CAST('0x' || substr(md5(x || ':seed'), 1, 15) AS BIGINT)`.
+      Exists so MinHash/SimHash/LSH outputs are cross-engine
+      oracle-checkable (integer-exact), not just structurally tested.
+    """
+    if mode == "xxhash64":
+        return F.xxhash64(col) if seed is None else F.xxhash64(col, F.lit(seed))
+    if mode == "portable":
+        s = col.cast("string") if seed is None else F.concat(
+            col.cast("string"), F.lit(f":{seed}")
+        )
+        return F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long")
+    raise ValueError(f"unknown hash mode {mode!r}")
 
 
 def exact_duplicates(df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -64,18 +88,19 @@ def shingles(
 
 
 def minhash_signatures(
-    sh: DataFrame, num_hashes: int = 16
+    sh: DataFrame, num_hashes: int = 16, hash_mode: str = "xxhash64"
 ) -> DataFrame:
     """(id, sig: array<long>) — MinHash signature from a shingle table.
 
-    h_i(shingle) = xxhash64(shingle, i); sig[i] = min over shingles.
+    h_i(shingle) = hash64(shingle, seed=i); sig[i] = min over shingles.
     All H mins are computed by ONE aggregation (H agg columns), so the
-    cost is one shuffle on id regardless of H.
+    cost is one shuffle on id regardless of H. hash_mode="portable"
+    makes the signature reproducible in DuckDB (driver oracle).
     """
     hashed = sh.select(
         "id",
         *[
-            F.xxhash64(F.col("shingle"), F.lit(i)).alias(f"h{i}")
+            hash64(F.col("shingle"), seed=i, mode=hash_mode).alias(f"h{i}")
             for i in range(num_hashes)
         ],
     )
@@ -88,17 +113,35 @@ def minhash_signatures(
 
 
 def lsh_candidate_pairs(
-    signatures: DataFrame, bands: int = 4
+    signatures: DataFrame,
+    bands: int = 4,
+    hash_mode: str = "xxhash64",
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Candidate near-dup pairs (id_a < id_b) sharing ≥1 LSH band.
 
-    Band hash = xxhash64 of the band's signature slice. The self-join
-    is keyed on (band, band_hash) — docs never compare across buckets.
+    Band hash = hash64 of the band's signature slice. The self-join is
+    keyed on (band, band_hash) — docs never compare across buckets.
+
+    max_bucket_size bounds the m² blowup of a bucket of m
+    near-identical docs (guaranteed on dup-heavy crawl data): buckets
+    larger than the cap are dropped from candidate generation, with
+    the dropped mass logged (no silent caps). Run `dedup_exact` FIRST
+    so byte-identical duplicates never reach LSH — then an oversized
+    bucket means heavy boilerplate, which the cap turns from a
+    scale-killer into a logged skip.
     """
     sig_len_row = signatures.select(F.size("sig").alias("n")).first()
     if sig_len_row is None:
         return signatures.sparkSession.createDataFrame([], "id_a long, id_b long")
-    rows_per_band = int(sig_len_row["n"]) // bands
+    sig_len = int(sig_len_row["n"])
+    if bands <= 0 or bands > sig_len or sig_len % bands != 0:
+        raise ValueError(
+            f"bands={bands} must divide the signature length {sig_len} "
+            "(bands > sig_len would hash empty slices: every doc would "
+            "collide in every bucket)"
+        )
+    rows_per_band = sig_len // bands
     banded = signatures.select(
         "id",
         F.explode(
@@ -106,14 +149,15 @@ def lsh_candidate_pairs(
                 *[
                     F.struct(
                         F.lit(b).alias("band"),
-                        F.xxhash64(
+                        hash64(
                             F.concat_ws(
                                 ",",
                                 *[
                                     F.element_at("sig", b * rows_per_band + r + 1)
                                     for r in range(rows_per_band)
                                 ],
-                            )
+                            ),
+                            mode=hash_mode,
                         ).alias("bh"),
                     )
                     for b in range(bands)
@@ -121,6 +165,27 @@ def lsh_candidate_pairs(
             )
         ).alias("bb"),
     ).select("id", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
+    if max_bucket_size is not None:
+        big = (
+            banded.groupBy("band", "bh")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .filter(F.col("n") > max_bucket_size)
+            .persist()
+        )
+        dropped = big.agg(
+            F.count(F.lit(1)).alias("buckets"), F.sum("n").alias("rows")
+        ).first()
+        if dropped["buckets"]:
+            warnings.warn(
+                f"lsh_candidate_pairs: dropped {dropped['buckets']} bucket(s) "
+                f"over max_bucket_size={max_bucket_size} "
+                f"({dropped['rows']} banded rows) from candidate generation",
+                stacklevel=2,
+            )
+        # oversized buckets are few by construction — broadcast anti-join
+        banded = banded.join(
+            F.broadcast(big.select("band", "bh")), ["band", "bh"], "left_anti"
+        )
     a = banded.select(F.col("id").alias("id_a"), "band", "bh")
     b = banded.select(F.col("id").alias("id_b"), "band", "bh")
     return (
@@ -163,8 +228,35 @@ def ngram_jaccard_pairs(
     return scored.filter(F.col("jaccard") >= threshold)
 
 
+def near_dup_candidates(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    num_hashes: int = 16,
+    bands: int = 4,
+    max_bucket_size: int | None = 1000,
+    hash_mode: str = "xxhash64",
+) -> DataFrame:
+    """The scale-safe near-dup pipeline: exact-dedup → shingle →
+    MinHash → capped LSH. Byte-identical docs collapse BEFORE banding,
+    so a crawl with 10k copies of one page contributes one signature,
+    not a 10k² bucket; remaining oversized buckets (boilerplate) are
+    capped and logged."""
+    deduped = dedup_exact(df, id_col=id_col, text_col=text_col)
+    sh = shingles(deduped, id_col=id_col, text_col=text_col, k=k)
+    sig = minhash_signatures(sh, num_hashes=num_hashes, hash_mode=hash_mode)
+    return lsh_candidate_pairs(
+        sig, bands=bands, hash_mode=hash_mode, max_bucket_size=max_bucket_size
+    )
+
+
 def simhash_bits(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", nbits: int = 64
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    nbits: int = 64,
+    hash_mode: str = "xxhash64",
 ) -> DataFrame:
     """(id, simhash_bits: array<int>) — classic SimHash over whitespace
     tokens, computed as nbits sum-aggregates in one pass (no Python).
@@ -177,7 +269,7 @@ def simhash_bits(
         F.col(id_col).alias("id"),
         F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("tok"),
     ).filter(F.length("tok") > 0)
-    h = toks.select("id", F.xxhash64("tok").alias("th"))
+    h = toks.select("id", hash64(F.col("tok"), mode=hash_mode).alias("th"))
     votes = h.groupBy("id").agg(
         *[
             F.sum(

@@ -80,9 +80,15 @@ def ivf_build(
     distributed, only C centroid rows ever reach the driver.
     """
     base = df.select(F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("v"))
+    # Deterministic pseudo-random seeding: ordering by a hash of the id
+    # spreads the seeds over the dataset (lowest-ids seeding clusters
+    # poorly when ids correlate with content); still RNG-free so
+    # resume/tests reproduce exactly.
     cents = [
         (i, [float(x) for x in r["v"]])
-        for i, r in enumerate(base.orderBy("id").limit(n_centroids).collect())
+        for i, r in enumerate(
+            base.orderBy(F.xxhash64("id"), "id").limit(n_centroids).collect()
+        )
     ]
 
     def assign(cdf: DataFrame, centroids) -> DataFrame:
@@ -112,23 +118,22 @@ def ivf_build(
             .agg(F.sort_array(F.collect_list(F.struct("dim", "m"))).alias("dm"))
             .select("bucket", F.col("dm.m").alias("centroid"))
         )
-        new_cents = [
-            (int(r["bucket"]), [float(x) for x in r["centroid"]])
-            for r in means.orderBy("bucket").collect()
-        ]
-        cents = new_cents
+        by_bucket = {
+            int(r["bucket"]): [float(x) for x in r["centroid"]]
+            for r in means.collect()
+        }
+        # bucket label == index into cents, ALWAYS: rebuild positionally
+        # and carry the old centroid forward for emptied buckets —
+        # otherwise labels shift after an empty bucket and assignment /
+        # nprobe filters refer to the wrong centroids.
+        cents = [(i, by_bucket.get(i, c)) for i, (_, c) in enumerate(cents)]
         assigned = assign(base, cents)
     return assigned, cents
 
 
-def ivf_topk(
-    assigned: DataFrame,
-    centroids,
-    query_vec: list[float],
-    k: int = 10,
-    nprobe: int = 2,
-) -> DataFrame:
-    """ANN top-k probing the nprobe centroids nearest to the query."""
+def probe_buckets(centroids, query_vec: list[float], nprobe: int) -> list[int]:
+    """The nprobe bucket ids whose centroids are nearest the query
+    (driver-side math over C centroid rows — C is small by design)."""
     import math
 
     q = [float(x) for x in query_vec]
@@ -138,10 +143,65 @@ def ivf_topk(
         n = math.sqrt(sum(x * x for x in c))
         return sum(a * b for a, b in zip(q, c)) / (n * qn) if n > 0 else -1.0
 
-    probe = sorted(centroids, key=lambda ic: -cos(ic[1]))[:nprobe]
-    buckets = [i for i, _ in probe]
+    return [i for i, _ in sorted(centroids, key=lambda ic: -cos(ic[1]))[:nprobe]]
+
+
+def ivf_topk(
+    assigned: DataFrame,
+    centroids,
+    query_vec: list[float],
+    k: int = 10,
+    nprobe: int = 2,
+) -> DataFrame:
+    """ANN top-k probing the nprobe centroids nearest to the query.
+
+    With an in-memory `assigned`, the bucket filter still scans every
+    row — use ivf_write + ivf_topk_stored for the storage-pruned path
+    that makes nprobe/C a REAL IO reduction at scale.
+    """
+    import math
+
+    q = [float(x) for x in query_vec]
+    qn = math.sqrt(sum(x * x for x in q))
+    buckets = probe_buckets(centroids, q, nprobe)
     qcol = F.lit(q).cast("array<double>")
     cand = assigned.filter(F.col("bucket").isin(buckets))
+    return (
+        cand.withColumn("cosine", _dot(F.col("v"), qcol) / (_norm(F.col("v")) * F.lit(qn)))
+        .select(F.col("id").alias("vec_id"), "cosine")
+        .orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .limit(k)
+    )
+
+
+def ivf_write(assigned: DataFrame, path: str) -> None:
+    """Persist the inverted file PARTITIONED BY bucket: each bucket is
+    its own parquet directory, so a probe of nprobe buckets is a
+    partition-pruned scan touching nprobe/C of the data — without this
+    layout the candidate-set reduction is compute-only, not IO."""
+    assigned.select("id", "v", "bucket").write.mode("overwrite").partitionBy(
+        "bucket"
+    ).parquet(path)
+
+
+def ivf_topk_stored(
+    spark,
+    path: str,
+    centroids,
+    query_vec: list[float],
+    k: int = 10,
+    nprobe: int = 2,
+) -> DataFrame:
+    """ANN top-k over an ivf_write'd inverted file. The bucket-isin
+    filter lands in PartitionFilters (asserted in test_plans), so only
+    the probed buckets' files are listed and read."""
+    import math
+
+    q = [float(x) for x in query_vec]
+    qn = math.sqrt(sum(x * x for x in q))
+    buckets = probe_buckets(centroids, q, nprobe)
+    qcol = F.lit(q).cast("array<double>")
+    cand = spark.read.parquet(path).filter(F.col("bucket").isin(buckets))
     return (
         cand.withColumn("cosine", _dot(F.col("v"), qcol) / (_norm(F.col("v")) * F.lit(qn)))
         .select(F.col("id").alias("vec_id"), "cosine")

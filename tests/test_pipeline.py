@@ -66,6 +66,69 @@ def test_minhash_lsh_finds_near_dup(spark):
     assert (0, 2) in allp and allp[(0, 2)] > 0.5
 
 
+def test_lsh_validates_band_count(spark):
+    import pytest
+
+    df = docs_df(spark)
+    sig = minhash_signatures(shingles(df, k=4), num_hashes=16)
+    with pytest.raises(ValueError):
+        lsh_candidate_pairs(sig, bands=5)  # 5 does not divide 16
+    with pytest.raises(ValueError):
+        lsh_candidate_pairs(sig, bands=32)  # bands > sig_len
+
+
+def test_lsh_portable_hash_mode_recall(spark):
+    # portable (md5-prefix) mode must still recall the exact-dup pair
+    # and agree with ngram verification, independent of hash function
+    df = docs_df(spark)
+    sh = shingles(df, k=4)
+    sig = minhash_signatures(sh, num_hashes=16, hash_mode="portable")
+    pairs = lsh_candidate_pairs(sig, bands=8, hash_mode="portable")
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert (0, 1) in got
+
+
+def test_lsh_bucket_cap_prevents_quadratic_blowup(spark):
+    # 2000 docs of identical boilerplate + one planted near-dup pair:
+    # uncapped LSH would emit ~2M boilerplate pairs; the scale-safe
+    # pipeline (exact-dedup first + capped buckets) must return a
+    # small candidate set and keep the planted pair.
+    from linkgraph.pipeline.dedup import near_dup_candidates
+
+    boiler = [(i, "lorem ipsum dolor sit amet " * 8, "b") for i in range(2000)]
+    planted = [
+        (10_000, "a genuinely unique document about graph engines", "p"),
+        (10_001, "a genuinely unique document about graph engine", "p"),
+    ]
+    df = spark.createDataFrame(
+        boiler + planted, "doc_id long, text string, source string"
+    )
+    pairs = near_dup_candidates(df, k=4, bands=8, max_bucket_size=50)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert (10_000, 10_001) in got
+    # identical boilerplate collapsed by dedup_exact → no m² explosion
+    assert len(got) < 100
+
+
+def test_lsh_bucket_cap_drops_oversized_and_warns(spark):
+    import warnings as W
+
+    # 60 distinct docs sharing one hot band bucket is impossible to
+    # fabricate portably, so test the cap path directly: low cap on a
+    # fixture where every doc pair shares a bucket (identical text but
+    # distinct ids survive dedup_exact only if texts differ — so skip
+    # dedup and call lsh directly).
+    rows = [(i, "same same same text", "s") for i in range(60)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    sig = minhash_signatures(shingles(df, k=4), num_hashes=16)
+    with W.catch_warnings(record=True) as caught:
+        W.simplefilter("always")
+        pairs = lsh_candidate_pairs(sig, bands=4, max_bucket_size=10)
+        n = pairs.count()
+    assert n == 0  # the single oversized bucket was dropped entirely
+    assert any("dropped" in str(w.message) for w in caught)
+
+
 def test_simhash(spark):
     df = docs_df(spark)
     bits = simhash_bits(df, nbits=32)
@@ -92,6 +155,46 @@ def test_cosine_topk_and_ivf(spark):
     assert assigned.count() == 60
     approx = [r["vec_id"] for r in ivf_topk(assigned, cents, q, k=5, nprobe=4).collect()]
     # probing ALL buckets must reproduce the exact result
+    assert approx == exact
+
+
+def test_ivf_stored_path_prunes_partitions(spark, tmp_path):
+    import random
+
+    from linkgraph.pipeline.similarity import ivf_topk_stored, ivf_write
+
+    rng = random.Random(13)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(8)], 0) for i in range(80)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    q = [float(x) for x in rows[3][1]]
+    assigned, cents = ivf_build(emb, n_centroids=4, lloyd_iters=1)
+    path = str(tmp_path / "ivf")
+    ivf_write(assigned, path)
+    stored = ivf_topk_stored(spark, path, cents, q, k=5, nprobe=2)
+    mem = ivf_topk(assigned, cents, q, k=5, nprobe=2)
+    assert [r["vec_id"] for r in stored.collect()] == [
+        r["vec_id"] for r in mem.collect()
+    ]
+    # the bucket filter must reach the file source as a partition filter
+    plan = stored._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan
+    pf = plan.split("PartitionFilters: [", 1)[1].split("]", 1)[0]
+    assert "bucket" in pf  # non-empty: pruning is real, not a full scan
+
+
+def test_ivf_empty_bucket_keeps_positional_labels(spark):
+    # two far clusters + 4 centroids: Lloyd empties some buckets; the
+    # bucket column must still index into the returned centroid list
+    # (regression: stale labels after an emptied bucket shifted ids)
+    rows = [(i, [10.0 + (i % 3) * 0.01, 10.0], 0) for i in range(30)] + [
+        (100 + i, [-10.0, -10.0 - (i % 3) * 0.01], 0) for i in range(30)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    assigned, cents = ivf_build(emb, n_centroids=4, lloyd_iters=2)
+    assert [i for i, _ in cents] == list(range(4))  # contiguous positional ids
+    q = [10.0, 10.0]
+    exact = [r["vec_id"] for r in cosine_topk(emb, q, k=5).collect()]
+    approx = [r["vec_id"] for r in ivf_topk(assigned, cents, q, k=5, nprobe=4).collect()]
     assert approx == exact
 
 
