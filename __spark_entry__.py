@@ -122,15 +122,12 @@ def q_top_hub_suppliers(spark, sf_dir):  # D5: top-k (TakeOrderedAndProject)
     )
 
 
-def q_dense_vertex_ids(spark, sf_dir):  # A9/D6: stable dense ids via window
-    w = Window.orderBy("c_custkey")
-    return (
-        _t(spark, sf_dir, "customer")
-        .select("c_custkey")
-        .select(
-            (F.row_number().over(w) - 1).cast("long").alias("id"), "c_custkey"
-        )
-    )
+def q_dense_vertex_ids(spark, sf_dir):  # A9: two-pass dense ids (graph.py)
+    # routes through the engine's range-partitioned scheme (no
+    # single-partition sort), oracle-checked against the window form
+    from linkgraph.graph import assign_dense_ids
+
+    return assign_dense_ids(_t(spark, sf_dir, "customer"), "c_custkey")
 
 
 def q_pagerank_step1(spark, sf_dir):  # B2/B3/B5: one superstep, exact in SQL

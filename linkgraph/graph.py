@@ -74,15 +74,53 @@ def in_degrees(edges: DataFrame) -> DataFrame:
     )
 
 
-def assign_dense_ids(names: DataFrame, col: str = "repo") -> DataFrame:
-    """A9: stable dense long ids by row_number over sorted names.
+def assign_dense_ids(
+    names: DataFrame, col: str = "repo", partitions: int | None = None
+) -> DataFrame:
+    """A9: stable dense long ids == row_number over globally sorted
+    names, computed WITHOUT a single-partition global sort.
 
-    Returns (id: long, <col>: string). Deterministic across runs and
-    partition counts (SURVEY §A.5) — unlike monotonically_increasing_id.
+    Two-pass range-partitioned scheme: (1) distinct names are
+    range-partitioned P ways on <col> (a distributed sort split into P
+    contiguous chunks) and pinned with an eager localCheckpoint so the
+    two downstream jobs see identical partition boundaries; (2)
+    per-partition counts (P scalars) reach the driver and become a
+    cumulative-offset literal map; (3) id = offset[pid] + local rank,
+    where the rank window partitions by the stored pid — its exchange
+    hash-partitions P ways, so every task sorts only its own chunk.
+
+    The result is invariant to where the sampled range boundaries fall
+    (any contiguous split of the total order yields the same global
+    rank), hence deterministic across runs and partition counts
+    (SURVEY §A.5) — unlike monotonically_increasing_id. The plan
+    contains no single-partition Exchange (asserted in test_plans).
     """
-    w = Window.orderBy(F.col(col))
-    return names.select(col).distinct().select(
-        (F.row_number().over(w) - F.lit(1)).cast("long").alias("id"), F.col(col)
+    spark = names.sparkSession
+    p = partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    d = (
+        names.select(col)
+        .distinct()
+        .repartitionByRange(p, F.col(col))
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint()
+    )
+    counts = sorted(
+        (r["_pid"], r["n"])
+        for r in d.groupBy("_pid").agg(F.count(F.lit(1)).alias("n")).collect()
+    )
+    if not counts:
+        return d.select(F.lit(None).cast("long").alias("id"), F.col(col)).limit(0)
+    offsets, acc = {}, 0
+    for pid, n in counts:
+        offsets[pid] = acc
+        acc += n
+    omap = F.create_map(*[F.lit(x) for kv in offsets.items() for x in kv])
+    w = Window.partitionBy("_pid").orderBy(F.col(col))
+    return d.select(
+        (omap[F.col("_pid")] + F.row_number().over(w) - F.lit(1))
+        .cast("long")
+        .alias("id"),
+        F.col(col),
     )
 
 

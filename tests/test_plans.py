@@ -104,6 +104,47 @@ def test_sorted_cache_skips_edge_sort(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
 
 
+def test_dense_ids_have_no_single_partition_exchange(spark):
+    """assign_dense_ids must never funnel the vertex table through one
+    task (the old row_number-over-global-ORDER plan did): at corpus
+    scale |V| is 10^8–10^9 and a single-partition sort is THE
+    scale-killer. The two-pass plan's window partitions by pid."""
+    from linkgraph.graph import assign_dense_ids
+
+    names = spark.range(0, 5000).select(
+        F.concat(F.lit("repo-"), F.col("id").cast("string")).alias("repo")
+    )
+    ids = assign_dense_ids(names, "repo", partitions=8)
+    plan = plan_of(ids)
+    assert "Exchange SinglePartition" not in plan, plan
+    assert ids.count() == 5000
+
+
+def test_dense_ids_equal_global_window_form(spark):
+    """Property: the two-pass scheme must produce EXACTLY the ids of
+    row_number() over the global order, for any partition count."""
+    from pyspark.sql import Window
+
+    from linkgraph.graph import assign_dense_ids
+
+    names = spark.createDataFrame(
+        [(f"r{i:04d}",) for i in range(0, 997, 3)], "repo string"
+    )
+    w = Window.orderBy("repo")
+    want = {
+        (r["id"], r["repo"])
+        for r in names.distinct()
+        .select((F.row_number().over(w) - 1).cast("long").alias("id"), "repo")
+        .collect()
+    }
+    for p in (1, 4, 16):
+        got = {
+            (r["id"], r["repo"])
+            for r in assign_dense_ids(names, "repo", partitions=p).collect()
+        }
+        assert got == want, f"partitions={p}"
+
+
 def test_superstep_shuffle_is_bounded(spark, graph_builder):
     """The fused superstep must contain exactly ONE exchange over the
     message stream (the combine) in its live plan — no apply-join
