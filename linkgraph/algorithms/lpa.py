@@ -13,55 +13,27 @@ aggregate of `max(struct(cnt, -label))` per dst — never of arrival
 order, so results are partition-invariant (the classic distributed-LPA
 bug class). The agg form needs no per-group sort (vs a row_number
 window) and keeps the combine map-side partial like every other
-superstep aggregate.
+superstep aggregate. Expressed as a PregelSpec over pregel_run; every
+vertex scatters every superstep (frontier_filter=None: LPA is not
+monotone, so a stale neighbor label must keep being re-sent).
 """
 
 from __future__ import annotations
-
-import time
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from linkgraph.graph import Graph, symmetrize
-from linkgraph.pregel import RunInfo, truncate_lineage
+from linkgraph.pregel import PregelSpec, RunInfo, pregel_run
 
 
-def label_propagation(
-    graph: Graph, max_iter: int = 10, early_stop: bool = True, checkpointer=None
-) -> tuple[DataFrame, RunInfo]:
-    """Returns (state(id, label), RunInfo)."""
-    spark = graph.edges.sparkSession
-    p = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    und = (
-        symmetrize(graph.edges)
-        .repartition(p, "src")
-        .sortWithinPartitions("src")  # pre-sorted cache: no per-superstep sort
-        .persist()
-    )
-    und.count()
-
-    info = RunInfo("label_propagation")
-    start_step = 0
-    state = None
-    if checkpointer is not None:
-        resumed = checkpointer.try_resume("lpa")
-        if resumed is not None:
-            start_step, state = resumed
-            state = truncate_lineage(state.repartition(p, "id"))
-    if state is None:
-        state = truncate_lineage(
-            graph.vertices.select("id", F.col("id").alias("label")).repartition(p, "id")
-        )
-
-    step = start_step
-    for step in range(start_step + 1, max_iter + 1):
-        t0 = time.monotonic()
+def lpa_spec(early_stop: bool = True) -> PregelSpec:
+    def step(links, state, frontier, aggs):
         # fused: old labels ride the shuffle as zero-count marker rows —
         # they win argmax ONLY when the vertex has no real messages
         # (the "no neighbors keep label" rule), since any neighbor
         # label has cnt ≥ 1 > 0.
-        msgs = und.join(state.withColumnRenamed("id", "src"), "src").select(
+        msgs = links.join(state.withColumnRenamed("id", "src"), "src").select(
             "dst",
             "label",
             F.lit(1).cast("long").alias("c"),
@@ -79,7 +51,7 @@ def label_propagation(
             .agg(F.sum("c").alias("cnt"), F.max("old").alias("old"))
         )
         # argmax by (cnt desc, label asc): max over struct(cnt, -label, label)
-        new_state = (
+        return (
             counts.groupBy(F.col("dst").alias("id"))
             .agg(
                 F.max(
@@ -97,31 +69,31 @@ def label_propagation(
                 (F.col("w.l") != F.col("label_old")).alias("changed"),
             )
         )
-        new_state = truncate_lineage(new_state, eager=False)
-        changed = (
-            int(
-                new_state.agg(F.sum(F.col("changed").cast("long")).alias("a")).first()[
-                    "a"
-                ]
-                or 0
-            )
-            if early_stop
-            else None
-        )
-        if not early_stop:
-            new_state.count()  # still materialize the lazy checkpoint
-        state = new_state.select("id", "label")
-        info.record(step, t0, active=changed)
-        if checkpointer is not None:
-            cp = checkpointer.maybe_checkpoint("lpa", step, state, active=changed)
-            if cp is not None:
-                state = cp
-        if early_stop and changed == 0:
-            info.converged = True
-            break
 
-    info.supersteps = step
-    und.unpersist()
-    if checkpointer is not None:
-        checkpointer.finish("lpa", step, state)
-    return state, info
+    return PregelSpec(
+        algo="lpa",
+        state_cols=("label",),
+        init_state=lambda verts: verts.select("id", F.col("id").alias("label")),
+        prepare_links=symmetrize,
+        step=step,
+        metrics={"active": F.sum(F.col("changed").cast("long"))},
+        halt=(lambda a: int(a.get("active") or 0) == 0) if early_stop else (lambda a: False),
+        frontier_filter=None,  # sync LPA: every vertex scatters each iter
+    )
+
+
+def label_propagation(
+    graph: Graph,
+    max_iter: int = 10,
+    early_stop: bool = True,
+    checkpointer=None,
+    mutations=None,
+) -> tuple[DataFrame, RunInfo]:
+    """Returns (state(id, label), RunInfo)."""
+    return pregel_run(
+        graph,
+        lpa_spec(early_stop),
+        max_supersteps=max_iter,
+        checkpointer=checkpointer,
+        mutations=mutations,
+    )

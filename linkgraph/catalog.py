@@ -102,6 +102,19 @@ class ParquetManifestCatalog:
             snaps = [s for s in snaps if predicate(s.meta)]
         return snaps[-1] if snaps else None
 
+    def update_latest_meta(self, table: str, extra: dict, predicate=None) -> Snapshot:
+        """Merge `extra` into the newest (matching) snapshot's meta —
+        an atomic manifest rewrite, no data movement. Lets finish()
+        tag an existing checkpoint final instead of rewriting it."""
+        entries = self._read_manifest(table)
+        for e in reversed(entries):
+            meta = e.get("meta", {})
+            if predicate is None or predicate(meta):
+                e["meta"] = {**meta, **extra}
+                self._commit_manifest(table, entries)
+                return Snapshot(e["snapshot_id"], table, e["path"], e["meta"])
+        raise FileNotFoundError(f"no matching snapshot to retag in {table}")
+
     def read_snapshot(self, table: str, snapshot_id: str | None = None) -> DataFrame:
         snaps = self.snapshots(table)
         if not snaps:
@@ -125,8 +138,17 @@ class ParquetManifestCatalog:
 
 class IcebergCatalog:
     """Production provider: requires iceberg-spark-runtime on the
-    classpath and a configured catalog name. Mirrors the emulation
-    interface; snapshot ids are Iceberg's."""
+    classpath and a configured catalog name. Mirrors the full emulation
+    interface used by CheckpointManager (write/append/snapshots/latest/
+    read_snapshot/update_latest_meta); snapshot ids are Iceberg's own.
+
+    Engine meta (run_id, superstep, final, …) is persisted in a side
+    table `<table>__meta` (snapshot_id, meta JSON, seq) appended in the
+    same logical commit sequence — Iceberg snapshot summary properties
+    are not settable through the DataFrame API, and a queryable side
+    table also gives cheap predicate scans for try_resume. NOTE: this
+    provider has never executed against a real Iceberg runtime in this
+    sandbox (no runtime jar; documented in the module docstring)."""
 
     def __init__(self, spark: SparkSession, catalog: str, namespace: str = "linkgraph"):
         self.spark = spark
@@ -136,6 +158,22 @@ class IcebergCatalog:
     def _ident(self, table: str) -> str:
         return f"{self.prefix}.{table}"
 
+    def _meta_ident(self, table: str) -> str:
+        return f"{self.prefix}.{table}__meta"
+
+    def _append_meta(self, table: str, snapshot_id: str, meta: dict) -> None:
+        import time as _time
+
+        row = self.spark.createDataFrame(
+            [(snapshot_id, json.dumps(meta), float(_time.time()))],
+            "snapshot_id string, meta string, seq double",
+        )
+        ident = self._meta_ident(table)
+        try:
+            row.writeTo(ident).append()
+        except Exception:
+            row.writeTo(ident).create()
+
     def write_snapshot(self, table: str, df: DataFrame, meta: dict | None = None) -> Snapshot:
         ident = self._ident(table)
         df.writeTo(ident).createOrReplace()
@@ -144,6 +182,7 @@ class IcebergCatalog:
                 f"SELECT snapshot_id FROM {ident}.snapshots ORDER BY committed_at DESC LIMIT 1"
             ).first()[0]
         )
+        self._append_meta(table, sid, meta or {})
         return Snapshot(sid, table, ident, meta or {})
 
     def append(self, table: str, df: DataFrame, meta: dict | None = None) -> Snapshot:
@@ -152,7 +191,46 @@ class IcebergCatalog:
             df.writeTo(ident).append()
         except Exception:
             df.writeTo(ident).create()
-        return Snapshot("", table, ident, meta or {})
+        sid = str(
+            self.spark.sql(
+                f"SELECT snapshot_id FROM {ident}.snapshots ORDER BY committed_at DESC LIMIT 1"
+            ).first()[0]
+        )
+        self._append_meta(table, sid, {**(meta or {}), "mode": "append"})
+        return Snapshot(sid, table, ident, meta or {})
+
+    def snapshots(self, table: str) -> list[Snapshot]:
+        """Committed snapshots in commit order, meta from the side
+        table (last meta row per snapshot_id wins — retags append)."""
+        try:
+            rows = (
+                self.spark.read.table(self._meta_ident(table))
+                .orderBy("seq")
+                .collect()
+            )
+        except Exception as e:  # table missing → no snapshots yet
+            raise FileNotFoundError(f"no snapshots for table {table}") from e
+        by_sid: dict[str, dict] = {}
+        order: list[str] = []
+        for r in rows:
+            if r["snapshot_id"] not in by_sid:
+                order.append(r["snapshot_id"])
+            by_sid[r["snapshot_id"]] = json.loads(r["meta"])
+        return [Snapshot(s, table, self._ident(table), by_sid[s]) for s in order]
+
+    def latest(self, table: str, predicate=None) -> Snapshot | None:
+        snaps = self.snapshots(table)
+        if predicate is not None:
+            snaps = [s for s in snaps if predicate(s.meta)]
+        return snaps[-1] if snaps else None
+
+    def update_latest_meta(self, table: str, extra: dict, predicate=None) -> Snapshot:
+        for s in reversed(self.snapshots(table)):
+            if predicate is None or predicate(s.meta):
+                merged = {**s.meta, **extra}
+                self._append_meta(table, s.snapshot_id, merged)
+                return Snapshot(s.snapshot_id, table, s.path, merged)
+        raise FileNotFoundError(f"no matching snapshot to retag in {table}")
 
     def read_snapshot(self, table: str, snapshot_id: str | None = None) -> DataFrame:
         ident = self._ident(table)

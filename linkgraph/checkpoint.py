@@ -29,10 +29,23 @@ LINEAGE_TABLE = "lineage"
 
 
 class CheckpointManager:
-    def __init__(self, catalog, run_id: str, every: int = 5):
+    """every: superstep cadence. min_interval_s: optional time gate —
+    skip a due checkpoint if the last one for this algo is fresher than
+    this many seconds (adaptive cadence: cheap fast supersteps don't
+    pay a snapshot write each k steps; slow ones still do)."""
+
+    def __init__(
+        self,
+        catalog,
+        run_id: str,
+        every: int = 5,
+        min_interval_s: float | None = None,
+    ):
         self.catalog = catalog
         self.run_id = run_id
         self.every = max(1, every)
+        self.min_interval_s = min_interval_s
+        self._last: dict[str, tuple[int, float]] = {}  # algo -> (step, t)
 
     def _state_table(self, algo: str) -> str:
         return f"state_{algo}"
@@ -58,6 +71,7 @@ class CheckpointManager:
         state: DataFrame,
         delta: float | None = None,
         active: int | None = None,
+        extra_meta: dict | None = None,
     ) -> DataFrame:
         """Write a snapshot + lineage rows; return the read-back state."""
         t0 = time.monotonic()
@@ -68,8 +82,10 @@ class CheckpointManager:
                 "run_id": self.run_id,
                 "algorithm": algo,
                 "superstep": superstep,
+                **(extra_meta or {}),
             },
         )
+        self._last[algo] = (superstep, time.monotonic())
         wall = time.monotonic() - t0
         lineage = self._partition_metrics(state).select(
             F.lit(self.run_id).alias("run_id"),
@@ -88,15 +104,40 @@ class CheckpointManager:
     def maybe_checkpoint(
         self, algo: str, superstep: int, state: DataFrame, **metrics
     ) -> DataFrame | None:
-        if superstep % self.every == 0:
-            return self.checkpoint(algo, superstep, state, **metrics)
-        return None
+        if superstep % self.every != 0:
+            return None
+        if self.min_interval_s is not None:
+            last = self._last.get(algo)
+            if (
+                last is not None
+                and time.monotonic() - last[1] < self.min_interval_s
+            ):
+                return None  # adaptive cadence: too soon since last write
+        return self.checkpoint(algo, superstep, state, **metrics)
 
-    def finish(self, algo: str, superstep: int, state: DataFrame) -> None:
-        self.checkpoint(algo, superstep, state)
+    def finish(
+        self, algo: str, superstep: int, state: DataFrame, converged: bool = False
+    ) -> None:
+        """Mark the run finished. If the last checkpoint already holds
+        this superstep's state, only retag its meta (skips rewriting
+        the snapshot — the write dominated short CLI runs); otherwise
+        write a final snapshot carrying the flags."""
+        extra = {"final": True, "converged": bool(converged)}
+        last = self._last.get(algo)
+        if last is not None and last[0] == superstep:
+            retag = getattr(self.catalog, "update_latest_meta", None)
+            if retag is not None:
+                retag(
+                    self._state_table(algo),
+                    extra,
+                    predicate=lambda m: m.get("run_id") == self.run_id,
+                )
+                return
+        self.checkpoint(algo, superstep, state, extra_meta=extra)
 
-    def try_resume(self, algo: str) -> tuple[int, DataFrame] | None:
-        """Latest committed (superstep, state) for this run_id, if any."""
+    def try_resume(self, algo: str) -> tuple[int, DataFrame, dict] | None:
+        """Latest committed (superstep, state, meta) for this run_id.
+        meta['converged'] lets callers short-circuit a finished run."""
         try:
             snap = self.catalog.latest(
                 self._state_table(algo),
@@ -107,7 +148,11 @@ class CheckpointManager:
         if snap is None:
             return None
         step = int(snap.meta["superstep"])
-        return step, self.catalog.read_snapshot(self._state_table(algo), snap.snapshot_id)
+        return (
+            step,
+            self.catalog.read_snapshot(self._state_table(algo), snap.snapshot_id),
+            snap.meta,
+        )
 
     def lineage(self) -> DataFrame:
         return self.catalog.read_all(LINEAGE_TABLE).filter(

@@ -5,18 +5,48 @@ barrier; the shuffle produced by `groupBy(dst)` is message delivery;
 Catalyst's partial+final HashAggregate is the combiner; a driver-side
 scalar from `agg(...).first()` is the global aggregator.
 
+`pregel_run` is the generic vertex-program driver (paper §2/§3.1): one
+implementation of the fused-superstep loop — scatter → unioned
+carried-state markers → one combine+apply shuffle → metric barrier →
+frontier update → checkpoint — parameterized by a `PregelSpec`.
+Algorithm modules (pagerank/components/sssp/lpa) are thin specs over
+it; a new algorithm is ~20 lines, not a copy of the loop.
+
+Built-in machinery the spec gets for free:
+
+- **Global aggregators (paper §3.3)**: `spec.metrics` maps any name to
+  an aggregate Column evaluated over the post-superstep state in the
+  SAME job as the lineage-materializing barrier (no extra action).
+  Values are recorded per superstep (`SuperstepLog.aggregates`) and
+  handed back to the next `step()` call — the paper's "visible to all
+  vertices in superstep S+1".
+- **Vote-to-halt / frontier (B6)**: `spec.frontier_filter` names the
+  changed column; only changed vertices scatter next superstep.
+- **Checkpoint/resume (B9/B10)**: durable snapshots every k supersteps
+  via an injected CheckpointManager; resume short-circuits if the run
+  already converged (meta carries the flag).
+- **Topology mutation (B14, paper §3.4)**: a `mutations(superstep)`
+  callback may return (add_edges, remove_edges) DataFrames; they are
+  resolved at the superstep BARRIER (BSP requires every superstep to
+  see a consistent graph): the scatter relation is rebuilt, new
+  vertices get `spec.init_state` rows, removed vertices' state is
+  dropped, and the frontier is conservatively reset to the full vertex
+  set (correct for the confluent min/argmax programs; monotone state
+  already propagated over a removed edge is NOT retracted — the
+  paper's compute() semantics, where handling retraction is the
+  program's job).
+
 The one Spark-specific hazard of iterative dataflow is unbounded plan
 growth: superstep S's DataFrame references S-1's, so after ~30
 supersteps analysis/optimization time dominates. `truncate_lineage`
-cuts the plan every superstep via localCheckpoint (eager) — the
-materialized blocks also serve as the per-superstep state cache. A
-durable checkpoint (checkpoint.py) additionally persists state every k
-supersteps for mid-iteration resume (B9/B10).
+cuts the plan every superstep via localCheckpoint — the materialized
+blocks also serve as the per-superstep state cache.
 """
 
 from __future__ import annotations
 
 import time
+from collections.abc import Callable
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame
@@ -41,6 +71,7 @@ class SuperstepLog:
     delta: float | None
     active: int | None
     wall_s: float
+    aggregates: dict | None = None  # all spec.metrics values (B7, §3.3)
 
 
 @dataclass
@@ -55,11 +86,169 @@ class RunInfo:
     wall_s: float = 0.0
 
     def record(
-        self, superstep: int, t0: float, delta: float | None = None, active: int | None = None
+        self,
+        superstep: int,
+        t0: float,
+        delta: float | None = None,
+        active: int | None = None,
+        aggregates: dict | None = None,
     ) -> None:
         w = time.monotonic() - t0
-        self.log.append(SuperstepLog(superstep, delta, active, w))
+        self.log.append(SuperstepLog(superstep, delta, active, w, aggregates))
         self.supersteps = superstep
         self.wall_s += w
         if delta is not None:
             self.final_delta = delta
+
+
+@dataclass
+class PregelSpec:
+    """A vertex program, expressed as DataFrame transformations.
+
+    step(links, state, frontier, aggs) builds ONE LAZY superstep plan:
+    it must return (id, *state_cols, ...) where extra columns (e.g. a
+    `changed` flag or carried-old helper) feed `metrics` /
+    `frontier_filter` and are projected away afterwards. The canonical
+    shape is the fused superstep: scatter-join on the pre-sorted links
+    relation, union carried-state marker rows, ONE
+    groupBy(id).agg(...) that is simultaneously the combiner (map-side
+    partial) and the apply.
+    """
+
+    algo: str
+    state_cols: tuple[str, ...]
+    init_state: Callable[[DataFrame], DataFrame]  # vertices(id) -> state
+    prepare_links: Callable[[DataFrame], DataFrame]  # edges -> scatter relation
+    step: Callable[[DataFrame, DataFrame, DataFrame, dict], DataFrame]
+    metrics: dict  # name -> aggregate Column over the new state
+    halt: Callable[[dict], bool]  # metrics values -> converged?
+    frontier_filter: str | None = "changed"  # None = every vertex scatters
+
+
+def pregel_run(
+    graph,
+    spec: PregelSpec,
+    *,
+    max_supersteps: int,
+    checkpointer=None,
+    partitions: int | None = None,
+    mutations: Callable[[int], tuple[DataFrame | None, DataFrame | None] | None]
+    | None = None,
+) -> tuple[DataFrame, RunInfo]:
+    """Run `spec` to convergence (or max_supersteps) over `graph`.
+
+    graph: linkgraph.graph.Graph (prepared: canonical edges persisted).
+    Returns (state(id, *state_cols), RunInfo).
+    """
+    from linkgraph.graph import canonicalize, vertices_of
+
+    edges = graph.edges
+    spark = edges.sparkSession
+    p = partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+
+    def build_links(e: DataFrame) -> DataFrame:
+        # pre-sorted persisted scatter side: the per-superstep sort-merge
+        # join never re-sorts the |E| relation, only the |V| state side
+        l_ = (
+            spec.prepare_links(e)
+            .repartition(p, "src")
+            .sortWithinPartitions("src")
+            .persist()
+        )
+        l_.count()
+        return l_
+
+    links = build_links(edges)
+    info = RunInfo(spec.algo)
+
+    start_step = 0
+    state = None
+    if checkpointer is not None:
+        resumed = checkpointer.try_resume(spec.algo)
+        if resumed is not None:
+            start_step, state, meta = resumed
+            if meta.get("converged"):
+                # the run already finished — don't burn a superstep
+                info.converged = True
+                info.supersteps = start_step
+                links.unpersist()
+                return state, info
+            state = truncate_lineage(state.repartition(p, "id"))
+    if state is None:
+        state = truncate_lineage(
+            spec.init_state(graph.vertices).repartition(p, "id")
+        )
+    # superstep 0 / resume: every vertex is "changed" (confluent specs
+    # tolerate a too-large frontier at the cost of one superstep)
+    frontier = state
+
+    aggs: dict = {}
+    step_i = start_step
+    converged = False
+    while step_i < max_supersteps and not converged:
+        t0 = time.monotonic()
+        new_state = spec.step(links, state, frontier, aggs)
+        # lazy checkpoint: the metric agg below materializes it in one job
+        new_state = truncate_lineage(new_state, eager=False)
+        row = new_state.agg(
+            *[c.alias(k) for k, c in spec.metrics.items()]
+        ).first()
+        aggs = {k: row[k] for k in spec.metrics}
+        if spec.frontier_filter is not None:
+            frontier = new_state.filter(spec.frontier_filter).select(
+                "id", *spec.state_cols
+            )
+        state = new_state.select("id", *spec.state_cols)
+        if spec.frontier_filter is None:
+            frontier = state
+        step_i += 1
+        info.record(
+            step_i,
+            t0,
+            delta=aggs.get("delta"),
+            active=aggs.get("active"),
+            aggregates=dict(aggs),
+        )
+        if checkpointer is not None:
+            cp = checkpointer.maybe_checkpoint(
+                spec.algo,
+                step_i,
+                state,
+                delta=aggs.get("delta"),
+                active=aggs.get("active"),
+            )
+            if cp is not None:
+                state = cp  # durable read-back replaces in-memory state
+        if spec.halt(aggs):
+            converged = True
+
+        if mutations is not None and not converged:
+            mut = mutations(step_i)
+            if mut is not None:
+                add, remove = mut
+                if add is not None:
+                    edges = edges.unionByName(add.select("src", "dst"))
+                if remove is not None:
+                    edges = edges.join(
+                        remove.select("src", "dst"), ["src", "dst"], "left_anti"
+                    )
+                edges = truncate_lineage(
+                    canonicalize(edges).repartition(p, "src")
+                )
+                links.unpersist()
+                links = build_links(edges)
+                verts = vertices_of(edges).repartition(p, "id")
+                new_ids = verts.join(state, "id", "left_anti")
+                state = truncate_lineage(
+                    state.join(verts, "id", "left_semi").unionByName(
+                        spec.init_state(new_ids)
+                    )
+                )
+                frontier = state  # reactivate everything at the barrier
+
+    info.converged = converged
+    info.supersteps = step_i
+    links.unpersist()
+    if checkpointer is not None:
+        checkpointer.finish(spec.algo, step_i, state, converged=converged)
+    return state, info

@@ -55,8 +55,10 @@ def incremental_edges(
             )
         except FileNotFoundError:
             fresh = cand
-        if fresh.limit(1).count() > 0:
-            catalog.append(EDGE_TABLE, fresh, meta={"epoch": epoch_id})
+        # one derivation job per micro-batch: append unconditionally
+        # (an empty snapshot is harmless — read_all unions it away); a
+        # pre-count would run the whole derivation twice per batch
+        catalog.append(EDGE_TABLE, fresh, meta={"epoch": epoch_id})
 
     return (
         stream.writeStream.foreachBatch(process)

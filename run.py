@@ -48,6 +48,11 @@ def main() -> None:
     ap.add_argument("--out", help="output table name in the warehouse")
     ap.add_argument("--run-id", default="run0")
     ap.add_argument("--checkpoint-every", type=int, default=5)
+    ap.add_argument(
+        "--checkpoint-min-interval", type=float, default=30.0,
+        help="adaptive cadence: skip a due checkpoint if the last one "
+        "is fresher than this many seconds (0 disables the time gate)",
+    )
     ap.add_argument("--master", default=None)
     ap.add_argument("--partitions", type=int, default=None)
     ap.add_argument("--tol", type=float, default=1e-6)
@@ -72,7 +77,12 @@ def main() -> None:
     from linkgraph.graph import Graph
 
     catalog = get_catalog(spark, args.warehouse)
-    ck = CheckpointManager(catalog, run_id=args.run_id, every=args.checkpoint_every)
+    ck = CheckpointManager(
+        catalog,
+        run_id=args.run_id,
+        every=args.checkpoint_every,
+        min_interval_s=args.checkpoint_min_interval or None,
+    )
 
     t0 = time.monotonic()
     if args.edges:

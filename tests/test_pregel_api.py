@@ -1,0 +1,144 @@
+"""Generic vertex-program API tests (paper §2/§3.1/§3.3/§3.4):
+
+1. a NEW algorithm written as a ~15-line PregelSpec (max-value
+   propagation) runs on the shared driver and matches a pure-python
+   oracle — the point of the generic API is that a sixth algorithm is
+   a spec, not a copy of the superstep loop;
+2. user-defined global aggregators (spec.metrics) are recorded every
+   superstep and visible to the next step() call;
+3. mid-compute topology mutation resolved at the superstep barrier:
+   added edges merge components exactly as a static run on the final
+   graph; removed edges stop future message flow.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from linkgraph.algorithms import connected_components, sssp
+from linkgraph.graph import symmetrize
+from linkgraph.pregel import PregelSpec, pregel_run
+
+
+def maxprop_spec() -> PregelSpec:
+    """Max-value propagation: every vertex converges to the max id in
+    its (undirected) component. Written as a user would write it."""
+
+    def step(links, state, frontier, aggs):
+        msgs = links.join(frontier.withColumnRenamed("id", "src"), "src").select(
+            "dst", F.col("val").alias("msg"), F.lit(None).cast("double").alias("old")
+        )
+        carried = state.select(
+            F.col("id").alias("dst"),
+            F.lit(None).cast("double").alias("msg"),
+            F.col("val").alias("old"),
+        )
+        return (
+            msgs.unionByName(carried)
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.max("msg").alias("m"), F.max("old").alias("o"))
+            .select(
+                "id",
+                F.greatest(F.coalesce(F.col("m"), F.col("o")), F.col("o")).alias("val"),
+                F.coalesce(F.col("m") > F.col("o"), F.lit(False)).alias("changed"),
+            )
+        )
+
+    return PregelSpec(
+        algo="maxprop",
+        state_cols=("val",),
+        init_state=lambda v: v.select("id", F.col("id").cast("double").alias("val")),
+        prepare_links=symmetrize,
+        step=step,
+        metrics={
+            "active": F.sum(F.col("changed").cast("long")),
+            "val_sum": F.sum("val"),  # user-defined aggregator (§3.3)
+        },
+        halt=lambda a: int(a.get("active") or 0) == 0,
+        frontier_filter="changed",
+    )
+
+
+def test_custom_vertex_program_matches_oracle(graph_builder):
+    edges = [(0, 1), (1, 2), (2, 3), (10, 11), (11, 12)]
+    g = graph_builder(edges)
+    state, info = pregel_run(g, maxprop_spec(), max_supersteps=50)
+    got = {r["id"]: r["val"] for r in state.collect()}
+    assert got == {0: 3.0, 1: 3.0, 2: 3.0, 3: 3.0, 10: 12.0, 11: 12.0, 12: 12.0}
+    assert info.converged
+
+
+def test_user_aggregators_recorded_every_superstep(graph_builder):
+    g = graph_builder([(0, 1), (1, 2), (2, 3)])
+    state, info = pregel_run(g, maxprop_spec(), max_supersteps=50)
+    assert len(info.log) == info.supersteps
+    for entry in info.log:
+        assert entry.aggregates is not None and "val_sum" in entry.aggregates
+    # converged fixpoint: all four vertices hold 3.0
+    assert info.log[-1].aggregates["val_sum"] == 12.0
+
+
+def test_aggregates_visible_to_next_step(graph_builder):
+    """Paper §3.3: superstep S+1's compute sees superstep S's
+    aggregator values — pregel_run hands the previous metrics dict to
+    each step() call."""
+    seen: list[dict] = []
+    base = maxprop_spec()
+
+    def spying_step(links, state, frontier, aggs):
+        seen.append(dict(aggs))
+        return base.step(links, state, frontier, aggs)
+
+    spec = PregelSpec(**{**base.__dict__, "step": spying_step})
+    g = graph_builder([(0, 1), (1, 2)])
+    pregel_run(g, spec, max_supersteps=50)
+    assert seen[0] == {}  # superstep 1 has no prior aggregates
+    assert all("val_sum" in a for a in seen[1:])
+
+
+def test_mutation_add_edge_merges_components(spark, graph_builder):
+    """B14: an edge added at the superstep-2 barrier merges two
+    components; the final labels equal a static run on the final
+    graph (min-label is confluent under addition)."""
+    g = graph_builder([(0, 1), (1, 2), (10, 11), (11, 12)])
+    bridge = spark.createDataFrame([(2, 10)], "src long, dst long")
+
+    def mutations(superstep):
+        return (bridge, None) if superstep == 2 else None
+
+    state, info = connected_components(g, mutations=mutations)
+    got = {r["id"]: r["comp"] for r in state.collect()}
+    g_final = graph_builder([(0, 1), (1, 2), (2, 10), (10, 11), (11, 12)])
+    want_state, _ = connected_components(g_final)
+    want = {r["id"]: r["comp"] for r in want_state.collect()}
+    assert got == want == {i: 0 for i in got}
+
+
+def test_mutation_add_edge_with_new_vertices(spark, graph_builder):
+    """Added edges may introduce vertices unseen at start: they must
+    get init_state rows and participate from the next superstep."""
+    g = graph_builder([(0, 1)])
+    growth = spark.createDataFrame([(1, 5), (5, 6)], "src long, dst long")
+
+    def mutations(superstep):
+        return (growth, None) if superstep == 1 else None
+
+    state, _ = connected_components(g, mutations=mutations)
+    got = {r["id"]: r["comp"] for r in state.collect()}
+    assert got == {0: 0, 1: 0, 5: 0, 6: 0}
+
+
+def test_mutation_remove_edge_stops_propagation(spark, graph_builder):
+    """A chain 0→1→2→3→4 whose (2,3) edge is removed at the barrier
+    after superstep 1 — before the frontier reaches it — leaves 3,4
+    unreachable, exactly like a static run without that edge."""
+    g = graph_builder([(0, 1), (1, 2), (2, 3), (3, 4)])
+    cut = spark.createDataFrame([(2, 3)], "src long, dst long")
+
+    def mutations(superstep):
+        return (None, cut) if superstep == 1 else None
+
+    state, _ = sssp(g, source=0, mutations=mutations)
+    got = {r["id"]: r["dist"] for r in state.collect()}
+    assert got[0] == 0.0 and got[1] == 1.0 and got[2] == 2.0
+    assert got[3] == float("inf") and got[4] == float("inf")
