@@ -169,6 +169,9 @@ def q_triangles_pervertex(spark, sf_dir):  # C4 engine plan vs SQL credits
     return per_vertex.select(F.col("id"), "triangles")
 
 
+SSSP_MAX = 200  # one constant for engine max_supersteps AND oracle hop cap
+
+
 def q_sssp_hops(spark, sf_dir):  # C5 SSSP vs recursive-CTE oracle
     from linkgraph.algorithms import sssp
     from linkgraph.graph import Graph
@@ -176,7 +179,7 @@ def q_sssp_hops(spark, sf_dir):  # C5 SSSP vs recursive-CTE oracle
     e = _copurchase_edges(spark, sf_dir)
     src = e.agg(F.min("src")).first()[0]  # deterministic source
     g = Graph.prepare(e)
-    state, _ = sssp(g, source=int(src))
+    state, _ = sssp(g, source=int(src), max_supersteps=SSSP_MAX)
     return (
         state.filter(~F.isnan("dist") & (F.col("dist") != float("inf")))
         .select("id", F.col("dist").cast("long").alias("hops"))
@@ -638,7 +641,9 @@ def oracle_sql() -> dict[str, str]:
             "  SELECT v, 0 FROM s "
             "  UNION "
             "  SELECT e.dst, r.hops + 1 FROM r JOIN e ON e.src = r.id "
-            "  WHERE r.hops < 50) "
+            # hop cap == the engine's max_supersteps (SSSP_MAX): a path
+            # deeper than the engine explores must also be absent here
+            f"  WHERE r.hops < {SSSP_MAX}) "
             "SELECT id, CAST(min(hops) AS BIGINT) AS hops FROM r GROUP BY id"
         ),
         "sales_cube": (

@@ -220,3 +220,59 @@ def test_multimodal_plumbing(spark):
     vid_count = media.filter("kind='video'").count()
     assert frames.select("media_id").distinct().count() == vid_count
     assert frames.filter("ts_ms % 500 != 0").count() == 0
+
+
+def test_multimodal_decode_is_real(spark):
+    """The lib-free decoders produce verifiable values, not hashes:
+    a solid-red PPM must yield mean_rgb=(1,0,0); a full-scale sine WAV
+    must yield rms≈1/√2; a 2-frame PPMV must count 2 frames."""
+    import math
+
+    import numpy as np
+
+    from linkgraph.pipeline.multimodal import (
+        _decode_payload,
+        decode_ppm,
+        decode_wav_pcm16,
+        encode_ppm,
+        encode_ppmv,
+        encode_wav_pcm16,
+    )
+
+    red = np.zeros((4, 6, 3), np.uint8)
+    red[:, :, 0] = 255
+    f = _decode_payload(encode_ppm(red), "image")
+    assert f[2] == 1.0 and f[3] == 0.0 and f[4] == 0.0  # mean r,g,b
+    assert decode_ppm(encode_ppm(red)).shape == (4, 6, 3)
+
+    t = np.arange(8000, dtype=np.float64)
+    sine = (np.sin(2 * np.pi * 440 * t / 8000) * 32767).astype(np.int16)
+    fa = _decode_payload(encode_wav_pcm16(sine), "audio")
+    assert abs(fa[0] - 1.0) < 1e-9  # duration: 8000 samples @ 8 kHz
+    assert abs(fa[1] - 1 / math.sqrt(2)) < 0.01  # rms of a sine
+    samples, rate = decode_wav_pcm16(encode_wav_pcm16(sine))
+    assert rate == 8000 and samples.size == 8000
+
+    blue = np.zeros((4, 6, 3), np.uint8)
+    blue[:, :, 2] = 255
+    fv = _decode_payload(encode_ppmv([red, blue]), "video")
+    assert fv[0] == 2 / 100.0  # frame count feature
+    assert fv[15] > 0.0  # motion between a red and a blue frame
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        _decode_payload(b"garbage-bytes", "image")
+    with pytest.raises(NotImplementedError):
+        _decode_payload(b"\xff\xd8\xff rest-of-jpeg", "image")  # codec seam
+
+
+def test_multimodal_resize(spark):
+    from linkgraph.pipeline.multimodal import decode_ppm, resize_images
+
+    media = synth_media(spark, 12)
+    small = resize_images(media, 8, 5)
+    rows = small.collect()
+    assert len(rows) == media.filter("kind='image'").count()
+    for r in rows:
+        assert decode_ppm(bytes(r["payload"])).shape == (5, 8, 3)
