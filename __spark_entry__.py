@@ -421,10 +421,18 @@ def _md5num(expr: str) -> str:
     return f"CAST('0x' || substr(md5({expr}), 1, 15) AS BIGINT)"
 
 
-def _minhash_oracle_sql(k: int = 5, num_hashes: int = 16, bands: int = 4) -> str:
+def _minhash_oracle_sql(
+    k: int = 5,
+    num_hashes: int = 16,
+    bands: int = 4,
+    dedup_first: bool = False,
+    max_bucket_size: int | None = None,
+) -> str:
     """Full MinHash+LSH candidate set in SQL: k-gram shingles → H
     portable hashes → per-doc mins → band hashes → bucket self-join.
-    Integer-exact vs the Spark portable-mode path."""
+    Integer-exact vs the Spark portable-mode path. dedup_first /
+    max_bucket_size mirror the scale-safe near_dup_candidates pipeline
+    (exact-dedup before banding; oversized band buckets dropped)."""
     rpb = num_hashes // bands
     hash_cols = ", ".join(
         _md5num(f"s || ':{i}'") + f" AS h{i}" for i in range(num_hashes)
@@ -438,17 +446,37 @@ def _minhash_oracle_sql(k: int = 5, num_hashes: int = 16, bands: int = 4) -> str
         + " AS bh FROM sig"
         for b in range(bands)
     )
+    if dedup_first:
+        src = (
+            "keep AS (SELECT min(doc_id) AS doc_id FROM documents "
+            "GROUP BY sha256(text)), "
+            "docs AS (SELECT d.doc_id, d.text FROM documents d "
+            "JOIN keep USING (doc_id)), "
+        )
+    else:
+        src = "docs AS (SELECT doc_id, text FROM documents), "
+    pair_src = "banded"
+    cap = ""
+    if max_bucket_size is not None:
+        cap = (
+            f", big AS (SELECT band, bh FROM banded GROUP BY band, bh "
+            f"HAVING count(*) > {max_bucket_size}), "
+            "kept AS (SELECT b.* FROM banded b ANTI JOIN big USING (band, bh))"
+        )
+        pair_src = "kept"
     return (
-        "WITH ex AS (SELECT doc_id, lower(text) AS lt, "
+        f"WITH {src}"
+        "ex AS (SELECT doc_id, lower(text) AS lt, "
         "unnest(generate_series(1, "
-        f"greatest(length(lower(text)) - {k - 1}, 1))) AS i FROM documents), "
+        f"greatest(length(lower(text)) - {k - 1}, 1))) AS i FROM docs), "
         f"sh AS (SELECT DISTINCT doc_id AS id, substr(lt, i, {k}) AS s FROM ex "
         f"WHERE length(substr(lt, i, {k})) = {k}), "
         f"hashed AS (SELECT id, {hash_cols} FROM sh), "
         f"sig AS (SELECT id, {mins} FROM hashed GROUP BY id), "
-        f"banded AS ({band_selects}) "
-        "SELECT DISTINCT a.id AS id_a, b.id AS id_b FROM banded a "
-        "JOIN banded b ON a.band = b.band AND a.bh = b.bh AND a.id < b.id"
+        f"banded AS ({band_selects})"
+        f"{cap} "
+        f"SELECT DISTINCT a.id AS id_a, b.id AS id_b FROM {pair_src} a "
+        f"JOIN {pair_src} b ON a.band = b.band AND a.bh = b.bh AND a.id < b.id"
     )
 
 
@@ -522,6 +550,19 @@ def q_minhash_lsh_candidates(spark, sf_dir):  # pipeline: MinHash+LSH near-dup
     return lsh_candidate_pairs(sig, bands=4, hash_mode="portable")
 
 
+def q_near_dup_pipeline(spark, sf_dir):  # pipeline: the scale-safe composition
+    # exact-dedup → shingle → MinHash → CAPPED LSH: the cap (oversized
+    # band buckets dropped) is deterministic integer logic, so the
+    # whole pipeline — including which buckets were dropped — is
+    # oracle-checked cross-engine.
+    from linkgraph.pipeline.dedup import near_dup_candidates
+
+    d = _t(spark, sf_dir, "documents")
+    return near_dup_candidates(
+        d, k=5, num_hashes=16, bands=4, max_bucket_size=10, hash_mode="portable"
+    )
+
+
 def q_ann_ivf(spark, sf_dir):  # pipeline: IVF-bucketed approximate NN
     # nprobe = n_centroids exercises the full IVF path (build, Lloyd,
     # probe ordering, bucket union) at recall 1.0 — so the result must
@@ -575,6 +616,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank_csr_kernel": q_pagerank_csr_kernel,
         "lpa_copurchase": q_lpa_copurchase,
         "minhash_lsh_candidates": q_minhash_lsh_candidates,
+        "near_dup_pipeline": q_near_dup_pipeline,
         "ann_ivf": q_ann_ivf,
         "simhash_sample": q_simhash_sample,
     }
@@ -750,6 +792,9 @@ def oracle_sql() -> dict[str, str]:
         "pagerank_csr_kernel": _pagerank_oracle_sql(PR_K),
         "lpa_copurchase": _lpa_oracle_sql(LPA_K),
         "minhash_lsh_candidates": _minhash_oracle_sql(),
+        "near_dup_pipeline": _minhash_oracle_sql(
+            dedup_first=True, max_bucket_size=10
+        ),
         "simhash_sample": _simhash_oracle_sql(),
         # nprobe=C IVF == exact brute-force cosine top-k (same SQL)
         "ann_ivf": (
