@@ -197,6 +197,17 @@ def q_sales_cube(spark, sf_dir):  # D4: grouping sets / cube
     )
 
 
+def q_sales_rollup(spark, sf_dir):  # D4: hierarchical grouping sets
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("l_extendedprice"), 4).alias("sum_price"),
+        )
+    )
+
+
 def q_running_revenue(spark, sf_dir):  # D6: window frame (running sum)
     w = (
         Window.partitionBy("l_suppkey")
@@ -600,6 +611,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triangles_pervertex": q_triangles_pervertex,
         "sssp_hops": q_sssp_hops,
         "sales_cube": q_sales_cube,
+        "sales_rollup": q_sales_rollup,
         "running_revenue": q_running_revenue,
         "events_daily": q_events_daily,
         "events_json": q_events_json,
@@ -692,6 +704,11 @@ def oracle_sql() -> dict[str, str]:
             "SELECT l_returnflag, l_linestatus, count(*) AS n, "
             "round(sum(l_quantity), 4) AS sum_qty "
             "FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)"
+        ),
+        "sales_rollup": (
+            "SELECT l_returnflag, l_linestatus, count(*) AS n, "
+            "round(sum(l_extendedprice), 4) AS sum_price "
+            "FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)"
         ),
         "running_revenue": (
             "SELECT l_suppkey, l_orderkey, l_linenumber, "

@@ -165,6 +165,12 @@ def lsh_candidate_pairs(
             )
         ).alias("bb"),
     ).select("id", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
+    # Materialize the banded table ONCE: it is read 2× by the pair
+    # self-join (3× with the cap's bucket-size count) and each read
+    # would otherwise replay the whole shingle-explode + H-hash +
+    # min-aggregate pipeline — the expensive part. |docs|×bands rows of
+    # three fixed-width columns is tiny next to that recompute.
+    banded = banded.localCheckpoint()
     if max_bucket_size is not None:
         big = (
             banded.groupBy("band", "bh")

@@ -125,3 +125,42 @@ def test_lpa_matches_pure_python_oracle(spark, graph_builder):
     got = {r["id"]: r["label"] for r in state.collect()}
     for v in verts:
         assert got[v] == want[v]
+
+
+def test_cc_matches_networkx_hypothesis(spark, graph_builder):
+    """Property: for arbitrary small directed edge lists, min-label CC
+    over the symmetrized graph equals networkx's undirected components
+    (hypothesis-generated, fixed seed via derandomize for CI stability)."""
+    import networkx as nx
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from linkgraph.algorithms import connected_components
+
+    @settings(
+        max_examples=6,
+        deadline=None,
+        derandomize=True,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        st.lists(
+            st.tuples(st.integers(0, 19), st.integers(0, 19)),
+            min_size=1,
+            max_size=40,
+        ).filter(lambda es: any(u != v for u, v in es))
+    )
+    def run(edges):
+        g = graph_builder(edges)
+        state, _ = connected_components(g)
+        got = {r["id"]: r["comp"] for r in state.collect()}
+        G = nx.Graph()
+        G.add_edges_from((u, v) for u, v in edges if u != v)
+        want = {}
+        for comp in nx.connected_components(G):
+            m = min(comp)
+            for v in comp:
+                want[v] = m
+        assert got == want
+
+    run()
