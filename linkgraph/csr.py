@@ -37,7 +37,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from linkgraph.graph import Graph
-from linkgraph.pregel import RunInfo, truncate_lineage
+from linkgraph.pregel import RunInfo
 
 CSR_SCHEMA = (
     "pk int, vids array<long>, indptr array<long>, indices array<long>"
@@ -87,21 +87,24 @@ def pagerank_csr(
     tol: float = 1e-6,
     max_supersteps: int = 100,
     dangling: str = "drop",
+    checkpointer=None,
 ) -> tuple[DataFrame, RunInfo]:
     """PageRank with the CSR gather-scatter kernel as the scatter stage.
 
     Semantics identical to algorithms.pagerank (SURVEY §A.2); only the
     physical scatter differs: cogrouped applyInPandas over (csr, state)
-    replaces the edges⋈state join.
+    replaces the edges⋈state join. Expressed as a PregelSpec with
+    links_key="pk" over the same generic driver (pregel.pregel_run) —
+    the CSR path therefore gets checkpoint/resume and the aggregator
+    machinery for free, and shares the fused combine+apply shuffle.
     """
+    from linkgraph.pregel import PregelSpec, pregel_run
+
     assert dangling in ("drop", "redistribute")
     spark = graph.edges.sparkSession
     p = int(spark.conf.get("spark.sql.shuffle.partitions"))
     n = graph.num_vertices
     base = (1.0 - d) / n
-
-    csr = pack_csr(graph.edges, p).persist()
-    csr.count()
 
     def scatter(key, csr_pdf: pd.DataFrame, state_pdf: pd.DataFrame) -> pd.DataFrame:
         if csr_pdf.empty or state_pdf.empty:
@@ -120,24 +123,12 @@ def pagerank_csr(
             {"dst": indices, "contrib": np.repeat(contrib, outdeg)}
         )
 
-    info = RunInfo("pagerank_csr")
-    state = truncate_lineage(
-        graph.vertices.select("id", F.lit(1.0 / n).cast("double").alias("rank"))
-        .withColumn("pk", partition_key(F.col("id"), p))
-        .repartition(p, "pk")
-    )
-
-    deg_ids = graph.edges.select(F.col("src").alias("id")).distinct()
     dangling_ids = None
     if dangling == "redistribute":
+        deg_ids = graph.edges.select(F.col("src").alias("id")).distinct()
         dangling_ids = graph.vertices.join(deg_ids, "id", "left_anti").persist()
 
-    import time
-
-    converged = False
-    step = 0
-    for step in range(1, max_supersteps + 1):
-        t0 = time.monotonic()
+    def step(links, state, frontier, aggs):
         extra = 0.0
         if dangling == "redistribute":
             dm = (
@@ -146,10 +137,9 @@ def pagerank_csr(
                 .first()["m"]
             )
             extra = d * float(dm or 0.0) / n
-
         # fused combine+apply (same trick as algorithms/pagerank.py)
         contribs = (
-            csr.groupBy("pk")
+            links.groupBy("pk")
             .cogroup(state.groupBy("pk"))
             .applyInPandas(scatter, schema="dst long, contrib double")
             .withColumn("old", F.lit(0.0))
@@ -159,7 +149,7 @@ def pagerank_csr(
             F.lit(0.0).alias("contrib"),
             F.col("rank").alias("old"),
         )
-        new_state = (
+        return (
             contribs.unionByName(carried)
             .groupBy(F.col("dst").alias("id"))
             .agg(
@@ -168,21 +158,23 @@ def pagerank_csr(
             )
             .withColumn("pk", partition_key(F.col("id"), p))
         )
-        new_state = truncate_lineage(new_state, eager=False)
-        delta = float(
-            new_state.agg(
-                F.sum(F.abs(F.col("rank") - F.col("rank_old"))).alias("d")
-            ).first()["d"]
-        )
-        state = new_state.select("id", "pk", "rank")
-        info.record(step, t0, delta=delta)
-        if delta < tol:
-            converged = True
-            break
 
-    info.converged = converged
-    info.supersteps = step
-    csr.unpersist()
+    spec = PregelSpec(
+        algo="pagerank_csr",
+        state_cols=("rank", "pk"),  # pk rides the state for the cogroup
+        init_state=lambda verts: verts.select(
+            "id", F.lit(1.0 / n).cast("double").alias("rank")
+        ).withColumn("pk", partition_key(F.col("id"), p)),
+        prepare_links=lambda edges: pack_csr(edges, p),
+        step=step,
+        metrics={"delta": F.sum(F.abs(F.col("rank") - F.col("rank_old")))},
+        halt=lambda a: a.get("delta") is not None and float(a["delta"]) < tol,
+        frontier_filter=None,
+        links_key="pk",
+    )
+    state, info = pregel_run(
+        graph, spec, max_supersteps=max_supersteps, checkpointer=checkpointer
+    )
     if dangling_ids is not None:
         dangling_ids.unpersist()
     return state.select("id", "rank"), info

@@ -123,6 +123,8 @@ class PregelSpec:
     metrics: dict  # name -> aggregate Column over the new state
     halt: Callable[[dict], bool]  # metrics values -> converged?
     frontier_filter: str | None = "changed"  # None = every vertex scatters
+    links_key: str = "src"  # partition/sort column of the scatter relation
+    # ("pk" for the CSR layout, whose relation is one row per partition)
 
 
 def pregel_run(
@@ -151,8 +153,8 @@ def pregel_run(
         # join never re-sorts the |E| relation, only the |V| state side
         l_ = (
             spec.prepare_links(e)
-            .repartition(p, "src")
-            .sortWithinPartitions("src")
+            .repartition(p, spec.links_key)
+            .sortWithinPartitions(spec.links_key)
             .persist()
         )
         l_.count()

@@ -75,3 +75,26 @@ def test_components_resume(spark, catalog, graph_builder):
     state, info = connected_components(g, checkpointer=ck2)
     got = {r["id"]: r["comp"] for r in state.collect()}
     assert set(got.values()) == {0}
+
+
+def test_pagerank_csr_resume(spark, catalog, graph_builder):
+    """The CSR path rides pregel_run now, so it checkpoints/resumes
+    like the join path; resumed == uninterrupted to float tolerance."""
+    import networkx as nx
+
+    from linkgraph.csr import pagerank_csr
+
+    G = nx.karate_club_graph()
+    edges = [(u, v) for u, v in G.edges()] + [(v, u) for u, v in G.edges()]
+    g = graph_builder(edges)
+    full_state, full_info = pagerank_csr(g, tol=1e-9)
+    full = ranks_of(full_state, 34)
+
+    ck = CheckpointManager(catalog, run_id="csr1", every=4)
+    _, info_a = pagerank_csr(g, tol=1e-9, max_supersteps=9, checkpointer=ck)
+    assert info_a.supersteps == 9
+    ck2 = CheckpointManager(catalog, run_id="csr1", every=4)
+    state_b, info_b = pagerank_csr(g, tol=1e-9, checkpointer=ck2)
+    got = ranks_of(state_b, 34)
+    assert np.allclose(got, full, atol=1e-12)
+    assert info_b.supersteps == full_info.supersteps
