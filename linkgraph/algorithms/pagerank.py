@@ -48,38 +48,20 @@ from linkgraph.graph import Graph, out_degrees
 from linkgraph.pregel import PregelSpec, RunInfo, pregel_run
 
 
-def pagerank(
-    graph: Graph,
+def pagerank_spec(
+    n: int,
     d: float = 0.85,
     tol: float = 1e-6,
-    max_supersteps: int = 100,
     dangling: str = "drop",
-    checkpointer=None,
-    hot_threshold: int | None = None,
-) -> tuple[DataFrame, RunInfo]:
-    """Returns (state(id, rank), RunInfo). float64 end-to-end (§A.6).
+    hot_ids=None,
+    dangling_ids=None,
+) -> PregelSpec:
+    """The PageRank vertex program as a PregelSpec (n = |V|, frozen).
 
-    PageRank does NOT accept mid-compute topology mutations: 1/N and
-    (1-d)/N are frozen at start, so a changed vertex set would silently
-    redistribute mass. Rebuild the Graph between runs instead.
+    Exposed separately from pagerank() so plan tests gate the REAL
+    superstep builder (spec.step), not a hand-built copy of it.
     """
-    assert dangling in ("drop", "redistribute")
-    n = graph.num_vertices
     base = (1.0 - d) / n
-
-    hot_ids = None
-    if hot_threshold is not None:
-        from linkgraph.skew import hot_vertices
-
-        deg = out_degrees(graph.edges)
-        hot_ids = hot_vertices(deg.select("id", "outdeg"), hot_threshold).persist()
-        hot_ids.count()
-
-    dangling_ids = None
-    if dangling == "redistribute":
-        dangling_ids = graph.vertices.join(
-            out_degrees(graph.edges), "id", "left_anti"
-        ).persist()
 
     def prepare_links(edges):
         # out-edges with the sender's degree attached: the per-superstep
@@ -119,7 +101,7 @@ def pagerank(
             )
         )
 
-    spec = PregelSpec(
+    return PregelSpec(
         algo="pagerank",
         state_cols=("rank",),
         init_state=lambda verts: verts.select(
@@ -130,6 +112,44 @@ def pagerank(
         metrics={"delta": F.sum(F.abs(F.col("rank") - F.col("rank_old")))},
         halt=lambda a: a.get("delta") is not None and float(a["delta"]) < tol,
         frontier_filter=None,  # every vertex scatters every superstep
+    )
+
+
+def pagerank(
+    graph: Graph,
+    d: float = 0.85,
+    tol: float = 1e-6,
+    max_supersteps: int = 100,
+    dangling: str = "drop",
+    checkpointer=None,
+    hot_threshold: int | None = None,
+) -> tuple[DataFrame, RunInfo]:
+    """Returns (state(id, rank), RunInfo). float64 end-to-end (§A.6).
+
+    PageRank does NOT accept mid-compute topology mutations: 1/N and
+    (1-d)/N are frozen at start, so a changed vertex set would silently
+    redistribute mass. Rebuild the Graph between runs instead.
+    """
+    assert dangling in ("drop", "redistribute")
+    n = graph.num_vertices
+
+    hot_ids = None
+    if hot_threshold is not None:
+        from linkgraph.skew import hot_vertices
+
+        deg = out_degrees(graph.edges)
+        hot_ids = hot_vertices(deg.select("id", "outdeg"), hot_threshold).persist()
+        hot_ids.count()
+
+    dangling_ids = None
+    if dangling == "redistribute":
+        dangling_ids = graph.vertices.join(
+            out_degrees(graph.edges), "id", "left_anti"
+        ).persist()
+
+    spec = pagerank_spec(
+        n, d=d, tol=tol, dangling=dangling,
+        hot_ids=hot_ids, dangling_ids=dangling_ids,
     )
     state, info = pregel_run(
         graph, spec, max_supersteps=max_supersteps, checkpointer=checkpointer

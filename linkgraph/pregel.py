@@ -144,6 +144,17 @@ def pregel_run(
     """
     from linkgraph.graph import canonicalize, vertices_of
 
+    if mutations is not None and checkpointer is not None:
+        # Resume restores checkpointed STATE but restarts from the
+        # original edge set; mutation callbacks for already-executed
+        # supersteps would not be re-applied, silently diverging the
+        # graph. Refuse the combination rather than corrupt a run.
+        raise ValueError(
+            "mutations + checkpointer is unsupported: mutated edges are "
+            "not captured in checkpoints, so a resumed run would see "
+            "the pre-mutation graph"
+        )
+
     edges = graph.edges
     spark = edges.sparkSession
     p = partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))

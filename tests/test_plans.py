@@ -148,27 +148,24 @@ def test_dense_ids_equal_global_window_form(spark):
 def test_superstep_shuffle_is_bounded(spark, graph_builder):
     """The fused superstep must contain exactly ONE exchange over the
     message stream (the combine) in its live plan — no apply-join
-    exchange. Cached/checkpointed subtrees are excluded."""
+    exchange. Gates the REAL vertex program: the plan under test is
+    built by pagerank_spec().step, exactly what pregel_run executes.
+    Cached/checkpointed subtrees are excluded."""
+    from linkgraph.algorithms.pagerank import pagerank_spec
+
     g = graph_builder(FX.G1_EDGES)
     n = g.num_vertices
     p = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    deg = out_degrees(g.edges).withColumnRenamed("id", "src")
-    links = g.edges.join(deg, "src").select("src", "dst", "outdeg").persist()
+    spec = pagerank_spec(n)
+    links = (
+        spec.prepare_links(g.edges)
+        .repartition(p, spec.links_key)
+        .sortWithinPartitions(spec.links_key)
+        .persist()
+    )
     links.count()
-    state = g.vertices.select("id", F.lit(1.0 / n).alias("rank")).localCheckpoint()
-    contribs = links.join(state.withColumnRenamed("id", "src"), "src").select(
-        "dst", (F.col("rank") / F.col("outdeg")).alias("contrib"),
-        F.lit(0.0).alias("old"),
-    )
-    carried = state.select(
-        F.col("id").alias("dst"), F.lit(0.0).alias("contrib"),
-        F.col("rank").alias("old"),
-    )
-    new_state = (
-        contribs.unionByName(carried)
-        .groupBy(F.col("dst").alias("id"))
-        .agg(F.sum("contrib").alias("rank"), F.sum("old").alias("rank_old"))
-    )
+    state = spec.init_state(g.vertices).localCheckpoint()
+    new_state = spec.step(links, state, state, {})
     plan = plan_of(new_state)
     live = plan.split("InMemoryRelation")[0]  # strip cached-plan printouts
     n_exchanges = live.count("Exchange hashpartitioning")

@@ -142,3 +142,20 @@ def test_mutation_remove_edge_stops_propagation(spark, graph_builder):
     got = {r["id"]: r["dist"] for r in state.collect()}
     assert got[0] == 0.0 and got[1] == 1.0 and got[2] == 2.0
     assert got[3] == float("inf") and got[4] == float("inf")
+
+
+def test_mutations_with_checkpointer_rejected(spark, graph_builder, tmp_path):
+    """Mutated edges are not captured in checkpoints, so a resumed run
+    would silently see the pre-mutation graph — the driver refuses the
+    combination up front."""
+    import pytest
+
+    from linkgraph.catalog import ParquetManifestCatalog
+    from linkgraph.checkpoint import CheckpointManager
+
+    g = graph_builder([(0, 1)])
+    ck = CheckpointManager(
+        ParquetManifestCatalog(spark, str(tmp_path / "wh")), run_id="x"
+    )
+    with pytest.raises(ValueError, match="mutations"):
+        connected_components(g, checkpointer=ck, mutations=lambda s: None)
