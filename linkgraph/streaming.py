@@ -73,3 +73,79 @@ def streaming_degree_counts(stream: DataFrame, exports: DataFrame) -> DataFrame:
     the monitoring-counter pattern over the same extraction operators."""
     edges = resolve_edges(extract_imports(stream), exports)
     return edges.groupBy("src_repo").agg(F.count(F.lit(1)).alias("outdeg"))
+
+
+EVENT_SCHEMA = "event_id long, ts timestamp, event_type string, value double, props string"
+
+
+def stream_events(spark: SparkSession, drop_dir: str) -> DataFrame:
+    """File-drop source with the events table schema (TESTDATA shape)."""
+    return (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", 8)
+        .parquet(drop_dir)
+    )
+
+
+def windowed_event_counts(
+    events: DataFrame, window: str = "1 hour", watermark: str = "30 minutes"
+) -> DataFrame:
+    """Watermarked tumbling-window aggregation over an event stream —
+    the late-data pattern: rows later than `watermark` behind the max
+    observed ts are dropped and their windows finalized, which bounds
+    state instead of keeping every window open forever (the thing that
+    kills unbounded streaming aggs at 100 TB/day event rates).
+
+    Output: (window_start, window_end, event_type, n, sum_value);
+    append output mode emits each window exactly once, on watermark
+    passage.
+    """
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+def stateful_event_counter(events: DataFrame, timeout_ms: int | None = None):
+    """Custom stateful operator via applyInPandasWithState: a running
+    per-event_type counter + value sum that persists across
+    micro-batches (GroupState), emitting the updated running totals
+    each batch — the arbitrary-stateful-operator seam the built-in
+    windowed aggs can't express (e.g. sessionization, dedup-with-TTL).
+
+    State is one (count, sum) pair per group: O(|group keys|), not
+    O(events) — the shape that survives unbounded streams.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdfs, state: GroupState):
+        import pandas as pd  # executor-side
+
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, total))
+        yield pd.DataFrame(
+            {"event_type": [key[0]], "running_n": [n],
+             "running_sum": [round(total, 6)]}
+        )
+
+    return events.groupBy("event_type").applyInPandasWithState(
+        update,
+        outputStructType="event_type string, running_n long, running_sum double",
+        stateStructType="n long, total double",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
