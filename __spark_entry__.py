@@ -582,10 +582,18 @@ def q_ann_ivf(spark, sf_dir):  # pipeline: IVF-bucketed approximate NN
     from linkgraph.pipeline.similarity import ivf_build, ivf_topk
 
     emb = _t(spark, sf_dir, "embeddings")
+    n_vecs = emb.count()
     qvec = [float(x) for x in emb.filter("vec_id = 0").first()["embedding"]]
     assigned, cents = ivf_build(emb, n_centroids=8, lloyd_iters=1)
-    return ivf_topk(assigned, cents, qvec, k=10, nprobe=8).select(
-        "vec_id", F.round("cosine", 6).alias("cosine")
+    # round BEFORE ordering/cutting (like the oracle and q_knn_cosine):
+    # cutting on unrounded cosine could pick a different top-10 set
+    # when two cosines tie at 6 dp — so take all candidates (k=n) and
+    # apply the rounded-order limit here
+    full = ivf_topk(assigned, cents, qvec, k=int(n_vecs), nprobe=8)
+    return (
+        full.select("vec_id", F.round("cosine", 6).alias("cosine"))
+        .orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .limit(10)
     )
 
 

@@ -61,6 +61,13 @@ def pagerank_spec(
     Exposed separately from pagerank() so plan tests gate the REAL
     superstep builder (spec.step), not a hand-built copy of it.
     """
+    if dangling not in ("drop", "redistribute"):
+        raise ValueError(f"dangling must be drop|redistribute, got {dangling!r}")
+    if dangling == "redistribute" and dangling_ids is None:
+        raise ValueError(
+            "dangling='redistribute' needs dangling_ids (the vertices "
+            "with no out-edges) — pagerank() threads it automatically"
+        )
     base = (1.0 - d) / n
 
     def prepare_links(edges):

@@ -137,10 +137,14 @@ def pagerank_csr(
                 .first()["m"]
             )
             extra = d * float(dm or 0.0) / n
+        # pk computed HERE from id (never stored in state): a resumed
+        # run under a different shuffle-partition count would otherwise
+        # cogroup stale pk values against a freshly packed CSR
+        keyed = state.withColumn("pk", partition_key(F.col("id"), p))
         # fused combine+apply (same trick as algorithms/pagerank.py)
         contribs = (
             links.groupBy("pk")
-            .cogroup(state.groupBy("pk"))
+            .cogroup(keyed.groupBy("pk"))
             .applyInPandas(scatter, schema="dst long, contrib double")
             .withColumn("old", F.lit(0.0))
         )
@@ -156,15 +160,14 @@ def pagerank_csr(
                 (F.lit(base + extra) + F.lit(d) * F.sum("contrib")).alias("rank"),
                 F.sum("old").alias("rank_old"),
             )
-            .withColumn("pk", partition_key(F.col("id"), p))
         )
 
     spec = PregelSpec(
         algo="pagerank_csr",
-        state_cols=("rank", "pk"),  # pk rides the state for the cogroup
+        state_cols=("rank",),
         init_state=lambda verts: verts.select(
             "id", F.lit(1.0 / n).cast("double").alias("rank")
-        ).withColumn("pk", partition_key(F.col("id"), p)),
+        ),
         prepare_links=lambda edges: pack_csr(edges, p),
         step=step,
         metrics={"delta": F.sum(F.abs(F.col("rank") - F.col("rank_old")))},

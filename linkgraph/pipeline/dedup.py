@@ -172,11 +172,13 @@ def lsh_candidate_pairs(
     # three fixed-width columns is tiny next to that recompute.
     banded = banded.localCheckpoint()
     if max_bucket_size is not None:
+        # no persist: banded is already materialized above, so the
+        # anti-join's recompute of `big` is one cheap aggregate (a
+        # persist here would leak a cached block per call)
         big = (
             banded.groupBy("band", "bh")
             .agg(F.count(F.lit(1)).alias("n"))
             .filter(F.col("n") > max_bucket_size)
-            .persist()
         )
         dropped = big.agg(
             F.count(F.lit(1)).alias("buckets"), F.sum("n").alias("rows")

@@ -132,10 +132,15 @@ def decode_ppm(payload: bytes) -> np.ndarray:
     return raw.reshape(h, w, 3)
 
 
-def _ppm_end(payload: bytes, start: int) -> int:
-    """Byte offset one past the P6 image starting at `start`."""
-    w, h, pos = _parse_ppm_header(payload[start:])
-    return start + pos + h * w * 3
+def _decode_ppm_at(payload: bytes, start: int) -> tuple[np.ndarray, int]:
+    """(frame, next_offset) for the P6 image starting at `start`.
+    Only the small header is sliced; pixel data comes straight out of
+    the original buffer via frombuffer(offset=...) — no per-frame copy
+    of the remaining payload (PPMV videos would otherwise pay
+    O(frames × bytes) memcpy in the executor-Python hot path)."""
+    w, h, pos = _parse_ppm_header(payload[start : start + 128])
+    raw = np.frombuffer(payload, dtype=np.uint8, count=h * w * 3, offset=start + pos)
+    return raw.reshape(h, w, 3), start + pos + h * w * 3
 
 
 def decode_wav_pcm16(payload: bytes) -> tuple[np.ndarray, int]:
@@ -163,8 +168,8 @@ def decode_ppmv(payload: bytes) -> list[np.ndarray]:
     (n_frames,) = struct.unpack_from("<I", payload, 4)
     frames, pos = [], 8
     for _ in range(n_frames):
-        frames.append(decode_ppm(payload[pos:]))
-        pos = _ppm_end(payload, pos)
+        frame, pos = _decode_ppm_at(payload, pos)
+        frames.append(frame)
     return frames
 
 

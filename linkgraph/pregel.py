@@ -50,6 +50,7 @@ from collections.abc import Callable
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 
 def truncate_lineage(df: DataFrame, eager: bool = True) -> DataFrame:
@@ -142,7 +143,7 @@ def pregel_run(
     graph: linkgraph.graph.Graph (prepared: canonical edges persisted).
     Returns (state(id, *state_cols), RunInfo).
     """
-    from linkgraph.graph import canonicalize, vertices_of
+    from linkgraph.graph import vertices_of
 
     if mutations is not None and checkpointer is not None:
         # Resume restores checkpointed STATE but restarts from the
@@ -171,9 +172,10 @@ def pregel_run(
         l_.count()
         return l_
 
-    links = build_links(edges)
     info = RunInfo(spec.algo)
 
+    # resume check BEFORE the |E| scatter-relation build: a run already
+    # recorded converged must return without paying the prep job
     start_step = 0
     state = None
     if checkpointer is not None:
@@ -181,12 +183,12 @@ def pregel_run(
         if resumed is not None:
             start_step, state, meta = resumed
             if meta.get("converged"):
-                # the run already finished — don't burn a superstep
                 info.converged = True
                 info.supersteps = start_step
-                links.unpersist()
                 return state, info
             state = truncate_lineage(state.repartition(p, "id"))
+
+    links = build_links(edges)
     if state is None:
         state = truncate_lineage(
             spec.init_state(graph.vertices).repartition(p, "id")
@@ -235,27 +237,35 @@ def pregel_run(
         if spec.halt(aggs):
             converged = True
 
-        if mutations is not None and not converged:
+        if mutations is not None and not converged and step_i < max_supersteps:
             mut = mutations(step_i)
             if mut is not None:
                 add, remove = mut
                 if add is not None:
-                    edges = edges.unionByName(add.select("src", "dst"))
+                    # preserve ALL edge columns (weights etc.) — added
+                    # edges must carry the same schema
+                    edges = edges.unionByName(add.select(*edges.columns))
                 if remove is not None:
                     edges = edges.join(
                         remove.select("src", "dst"), ["src", "dst"], "left_anti"
                     )
+                # weight-preserving canonicalization: drop self-loops and
+                # duplicate (src,dst) pairs WITHOUT projecting away extra
+                # edge columns (plain canonicalize would strip weights)
                 edges = truncate_lineage(
-                    canonicalize(edges).repartition(p, "src")
+                    edges.filter(F.col("src") != F.col("dst"))
+                    .dropDuplicates(["src", "dst"])
+                    .repartition(p, "src")
                 )
                 links.unpersist()
                 links = build_links(edges)
+                # NEW vertices get init rows; existing state is kept even
+                # if a vertex became edge-isolated (edge removal never
+                # removes a vertex — paper §3.4 separates the two)
                 verts = vertices_of(edges).repartition(p, "id")
                 new_ids = verts.join(state, "id", "left_anti")
                 state = truncate_lineage(
-                    state.join(verts, "id", "left_semi").unionByName(
-                        spec.init_state(new_ids)
-                    )
+                    state.unionByName(spec.init_state(new_ids))
                 )
                 frontier = state  # reactivate everything at the barrier
 

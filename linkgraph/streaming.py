@@ -117,7 +117,7 @@ def windowed_event_counts(
     )
 
 
-def stateful_event_counter(events: DataFrame, timeout_ms: int | None = None):
+def stateful_event_counter(events: DataFrame):
     """Custom stateful operator via applyInPandasWithState: a running
     per-event_type counter + value sum that persists across
     micro-batches (GroupState), emitting the updated running totals

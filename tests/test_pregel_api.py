@@ -159,3 +159,27 @@ def test_mutations_with_checkpointer_rejected(spark, graph_builder, tmp_path):
     )
     with pytest.raises(ValueError, match="mutations"):
         connected_components(g, checkpointer=ck, mutations=lambda s: None)
+
+
+def test_mutation_preserves_weights_and_isolated_vertices(spark):
+    """Regressions from review: (a) mutations on a weighted edge table
+    must keep the weight column through the barrier rebuild; (b) a
+    vertex with no edges (or whose edges were removed) keeps its state
+    row — edge mutation never deletes vertices."""
+    from linkgraph.graph import Graph
+
+    edf = spark.createDataFrame(
+        [(0, 1, 2.0), (1, 2, 5.0)], "src long, dst long, w double"
+    )
+    verts = spark.createDataFrame([(0,), (1,), (2,), (9,)], "id long")  # 9 isolated
+    g = Graph(edges=edf, vertices=verts, num_vertices=4, num_edges=2)
+    add = spark.createDataFrame([(0, 2, 10.0)], "src long, dst long, w double")
+
+    state, _ = sssp(
+        g, source=0, weight_col="w",
+        mutations=lambda s: (add, None) if s == 1 else None,
+    )
+    got = {r["id"]: r["dist"] for r in state.collect()}
+    assert got[0] == 0.0 and got[1] == 2.0
+    assert got[2] == 7.0  # via 0→1→2 (2+5), beats the added 10.0 edge
+    assert got[9] == float("inf")  # isolated vertex still present
