@@ -139,6 +139,8 @@ def pagerank(
     """
     assert dangling in ("drop", "redistribute")
     n = graph.num_vertices
+    if n == 0:
+        raise ValueError("pagerank on an empty graph (num_vertices == 0)")
 
     hot_ids = None
     if hot_threshold is not None:

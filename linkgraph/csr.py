@@ -104,6 +104,8 @@ def pagerank_csr(
     spark = graph.edges.sparkSession
     p = int(spark.conf.get("spark.sql.shuffle.partitions"))
     n = graph.num_vertices
+    if n == 0:
+        raise ValueError("pagerank_csr on an empty graph (num_vertices == 0)")
     base = (1.0 - d) / n
 
     def scatter(key, csr_pdf: pd.DataFrame, state_pdf: pd.DataFrame) -> pd.DataFrame:

@@ -122,3 +122,18 @@ def test_topology_mutation(spark, graph_builder):
     state, _ = connected_components(g3)
     got = {r["id"]: r["comp"] for r in state.collect()}
     assert got == {1: 1, 2: 1, 3: 1}
+
+
+def test_empty_graph_rejected(spark):
+    import pytest
+
+    from linkgraph.algorithms import pagerank
+    from linkgraph.csr import pagerank_csr
+    from linkgraph.graph import Graph
+
+    empty = spark.createDataFrame([], "src long, dst long")
+    g = Graph.prepare(empty)
+    with pytest.raises(ValueError, match="empty graph"):
+        pagerank(g)
+    with pytest.raises(ValueError, match="empty graph"):
+        pagerank_csr(g)
