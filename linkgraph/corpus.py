@@ -31,6 +31,45 @@ from linkgraph.graph import assign_dense_ids, canonicalize, encode_edges
 
 SUPPORTED_LANGS = ("python", "js", "go")
 
+CORPUS_SCHEMA = T.StructType(
+    [
+        T.StructField("repo", T.StringType()),
+        T.StructField("path", T.StringType()),
+        T.StructField("commit", T.StringType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("content", T.StringType()),
+    ]
+)
+
+
+def read_corpus(spark, path: str, fmt: str = "parquet") -> DataFrame:
+    """A1: read a corpus table from parquet / csv / json(lines) with
+    the pinned schema ENFORCED at the scan (explicit schema = no
+    inference pass over the data, and column pruning still reaches the
+    reader). Iceberg tables go through the catalog seam instead
+    (catalog.py); this covers file-drop interchange formats.
+
+    CSV is read with multiLine+escaped quotes because `content` holds
+    raw source code (embedded newlines and quotes are the norm).
+    """
+    if fmt == "parquet":
+        df = spark.read.parquet(path)
+        missing = [f.name for f in CORPUS_SCHEMA if f.name not in df.columns]
+        if missing:
+            raise ValueError(f"corpus at {path} missing columns {missing}")
+        return df.select([f.name for f in CORPUS_SCHEMA])
+    if fmt == "csv":
+        return spark.read.csv(
+            path,
+            schema=CORPUS_SCHEMA,
+            header=True,
+            multiLine=True,
+            escape='"',
+        )
+    if fmt in ("json", "jsonl"):
+        return spark.read.json(path, schema=CORPUS_SCHEMA)
+    raise ValueError(f"unsupported corpus format {fmt!r}")
+
 # One capture group each; (?m) anchors per line.
 _PY_PAT = r"(?m)^\s*(?:from|import)\s+([A-Za-z_][A-Za-z0-9_\.]*)"
 _JS_REQUIRE_PAT = r'require\(\"([^\"]+)\"\)'

@@ -42,6 +42,9 @@ def main() -> None:
     ap.add_argument("--make-zip")
     ap.add_argument("--algo", choices=["pagerank", "components", "lpa", "triangles", "sssp"])
     ap.add_argument("--corpus", help="corpus table: parquet dir (or synth:R,F)")
+    ap.add_argument("--corpus-format", default="parquet",
+                    choices=["parquet", "csv", "json"],
+                    help="corpus file format (schema enforced at scan)")
     ap.add_argument("--exports", help="exports manifest parquet (omit for synth)")
     ap.add_argument("--edges", help="pre-built edge table parquet (skips derivation)")
     ap.add_argument("--warehouse", default="/tmp/linkgraph-warehouse")
@@ -96,7 +99,9 @@ def main() -> None:
         exports = spark.createDataFrame(c.exports)
         _, idmap, edges = derive_edges(corpus, exports)
     elif args.corpus:
-        corpus = spark.read.parquet(args.corpus)
+        from linkgraph.corpus import read_corpus
+
+        corpus = read_corpus(spark, args.corpus, fmt=args.corpus_format)
         exports = spark.read.parquet(args.exports)
         n, h = corpus_checksum(corpus)  # A2 invariant, recorded per run
         print(json.dumps({"corpus_rows": n, "corpus_checksum": h}))

@@ -97,3 +97,34 @@ def test_dirty_corpus_robustness(spark):
     got = {(r["src_repo"], r["dst_repo"]) for r in edges_by_name.collect()}
     want = {tuple(t) for t in c.edges.itertuples(index=False)}
     assert got == want  # rust row filtered, empty/null python rows yield nothing
+
+
+def test_read_corpus_formats_roundtrip(spark, tmp_path):
+    """A1 source formats: parquet/csv/json corpus reads must produce
+    identical derived edges — source code content survives CSV quoting
+    (embedded newlines/quotes) and JSON-lines escaping."""
+    from linkgraph.corpus import derive_edges, read_corpus
+
+    c = FX.gen_corpus(R=20, F=2)
+    df = spark.createDataFrame(c.files).select(
+        "repo", "path", "commit", "lang", "content"
+    )
+    exports = spark.createDataFrame(c.exports)
+
+    def edge_set(corpus):
+        _, _, edges = derive_edges(corpus, exports)
+        return {(r["src"], r["dst"]) for r in edges.collect()}
+
+    paths = {}
+    paths["parquet"] = str(tmp_path / "c.parquet")
+    df.write.parquet(paths["parquet"])
+    paths["csv"] = str(tmp_path / "c.csv")
+    df.write.option("header", True).option("escape", '"').csv(paths["csv"])
+    paths["json"] = str(tmp_path / "c.json")
+    df.write.json(paths["json"])
+
+    want = edge_set(df)
+    assert want  # fixture plants edges
+    for fmt, path in paths.items():
+        got = edge_set(read_corpus(spark, path, fmt=fmt))
+        assert got == want, f"{fmt} roundtrip changed the derived edges"
