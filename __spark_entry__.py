@@ -227,6 +227,45 @@ def q_running_revenue(spark, sf_dir):  # D6: window frame (running sum)
     )
 
 
+def q_click_only_days(spark, sf_dir):  # D7: set ops (EXCEPT/INTERSECT)
+    ev = _t(spark, sf_dir, "events").select(
+        F.to_date(F.date_trunc("DAY", F.col("ts"))).alias("day"), "event_type"
+    )
+    types = [r["event_type"] for r in ev.select("event_type").distinct().collect()]
+    a, b = sorted(types)[0], sorted(types)[-1]  # deterministic pair
+    days_a = ev.filter(F.col("event_type") == a).select("day").distinct()
+    days_b = ev.filter(F.col("event_type") == b).select("day").distinct()
+    only_a = days_a.subtract(days_b).select("day", F.lit("only_first").alias("kind"))
+    both = days_a.intersect(days_b).select("day", F.lit("both").alias("kind"))
+    return only_a.unionByName(both)
+
+
+def q_supplier_revenue_lag(spark, sf_dir):  # D6: lag window (non-frame)
+    w = Window.partitionBy("l_suppkey").orderBy("l_shipdate")
+    daily = (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_suppkey", "l_shipdate")
+        .agg(F.round(F.sum("l_extendedprice"), 4).alias("rev"))
+    )
+    return daily.select(
+        "l_suppkey",
+        "l_shipdate",
+        "rev",
+        F.round(F.coalesce(F.col("rev") - F.lag("rev").over(w), F.lit(0.0)), 4).alias(
+            "rev_delta"
+        ),
+    )
+
+
+def q_salted_degree_sum(spark, sf_dir):  # B11: two-phase salted agg == plain agg
+    from linkgraph.skew import salted_sum
+
+    e = _copurchase_edges(spark, sf_dir).select(
+        "dst", F.lit(1).cast("long").alias("one")
+    )
+    return salted_sum(e, key="dst", value="one", salt=16, out="indeg")
+
+
 def q_events_daily(spark, sf_dir):  # D9: date functions + agg
     return (
         _t(spark, sf_dir, "events")
@@ -621,6 +660,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sales_cube": q_sales_cube,
         "sales_rollup": q_sales_rollup,
         "running_revenue": q_running_revenue,
+        "click_only_days": q_click_only_days,
+        "supplier_revenue_lag": q_supplier_revenue_lag,
+        "salted_degree_sum": q_salted_degree_sum,
         "events_daily": q_events_daily,
         "events_json": q_events_json,
         "doc_dedup_stats": q_doc_dedup_stats,
@@ -725,6 +767,33 @@ def oracle_sql() -> dict[str, str]:
             "ORDER BY l_shipdate, l_orderkey, l_linenumber "
             "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) "
             "AS running_revenue FROM lineitem"
+        ),
+        "click_only_days": (
+            "WITH ev AS (SELECT CAST(date_trunc('day', ts) AS DATE) AS day, "
+            "event_type FROM events), "
+            "t AS (SELECT min(event_type) AS a, max(event_type) AS b FROM ev), "
+            "da AS (SELECT DISTINCT day FROM ev, t WHERE event_type = t.a), "
+            "db AS (SELECT DISTINCT day FROM ev, t WHERE event_type = t.b) "
+            "SELECT day, 'only_first' AS kind FROM (SELECT day FROM da "
+            "EXCEPT SELECT day FROM db) "
+            "UNION ALL "
+            "SELECT day, 'both' AS kind FROM (SELECT day FROM da "
+            "INTERSECT SELECT day FROM db)"
+        ),
+        "supplier_revenue_lag": (
+            "WITH d AS (SELECT l_suppkey, l_shipdate, "
+            "round(sum(l_extendedprice), 4) AS rev FROM lineitem "
+            "GROUP BY l_suppkey, l_shipdate) "
+            "SELECT l_suppkey, l_shipdate, rev, "
+            "round(coalesce(rev - lag(rev) OVER ("
+            "PARTITION BY l_suppkey ORDER BY l_shipdate), "
+            "CAST(0 AS DOUBLE)), 4) AS rev_delta FROM d"
+        ),
+        "salted_degree_sum": (
+            # salted two-phase aggregation is semantics-preserving: the
+            # oracle is the PLAIN aggregate
+            f"SELECT dst, count(*) AS indeg FROM ({_COPURCHASE_SQL}) e "
+            "GROUP BY dst"
         ),
         "events_daily": (
             "SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type, "
