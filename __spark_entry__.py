@@ -408,29 +408,46 @@ PR_K = 12  # supersteps unrolled in the PageRank driver oracle
 LPA_K = 5  # iterations unrolled in the LPA driver oracle
 
 
-def _pagerank_oracle_sql(k: int, limit: int = 50) -> str:
-    """K supersteps of PageRank (d=0.85, dangling=drop) as chained CTEs.
+def _pagerank_oracle_sql(k: int, limit: int = 50, dangling: str = "drop") -> str:
+    """K supersteps of PageRank (d=0.85) as chained CTEs.
 
     Matches algorithms/pagerank.py superstep-for-superstep: s0 = 1/N,
-    s_i = (1-d)/N + d * sum over in-edges of s_{i-1}(src)/outdeg(src).
-    (1-d) is spelled as a double subtraction so both engines produce
-    the same IEEE value (1.0-0.85 != 0.15 exactly)."""
+    s_i = (1-d)/N [+ d·danglingmass_{i-1}/N] + d * sum over in-edges of
+    s_{i-1}(src)/outdeg(src). (1-d) is spelled as a double subtraction
+    so both engines produce the same IEEE value (1.0-0.85 != 0.15
+    exactly)."""
+    # AS MATERIALIZED: each s{i} is referenced by m{i+1} AND (in
+    # redistribute mode) dm{i+1}; inlining would expand the chain
+    # exponentially (2^K scans of the base parquet — DuckDB runs out of
+    # file handles at K=12). Materializing evaluates each superstep once.
     parts = [
-        f"WITH e AS ({_COPURCHASE_SQL}), ",
-        "v AS (SELECT src AS id FROM e UNION SELECT dst FROM e), ",
+        f"WITH e AS MATERIALIZED ({_COPURCHASE_SQL}), ",
+        "v AS MATERIALIZED (SELECT src AS id FROM e UNION SELECT dst FROM e), ",
         "nn AS (SELECT count(*) AS n FROM v), ",
-        "deg AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src), ",
-        "led AS (SELECT e.src, e.dst, d.outdeg FROM e JOIN deg d ON e.src = d.src), ",
-        "s0 AS (SELECT v.id, CAST(1 AS DOUBLE) / nn.n AS pr FROM v CROSS JOIN nn)",
+        "deg AS MATERIALIZED (SELECT src, count(*) AS outdeg FROM e GROUP BY src), ",
+        "led AS MATERIALIZED (SELECT e.src, e.dst, d.outdeg FROM e "
+        "JOIN deg d ON e.src = d.src), ",
+        "s0 AS MATERIALIZED (SELECT v.id, CAST(1 AS DOUBLE) / nn.n AS pr "
+        "FROM v CROSS JOIN nn)",
     ]
     for i in range(1, k + 1):
+        extra = "CAST(0 AS DOUBLE)"
+        dm = ""
+        if dangling == "redistribute":
+            dm = (
+                f", dm{i} AS (SELECT coalesce(sum(s.pr), CAST(0 AS DOUBLE)) AS m "
+                f"FROM s{i - 1} s ANTI JOIN deg ON s.id = deg.src)"
+            )
+            extra = f"CAST(0.85 AS DOUBLE) * dm{i}.m / nn.n"
+        cross_dm = f" CROSS JOIN dm{i}" if dangling == "redistribute" else ""
         parts.append(
-            f", m{i} AS (SELECT l.dst AS id, sum(s.pr / l.outdeg) AS c "
+            f"{dm}, m{i} AS (SELECT l.dst AS id, sum(s.pr / l.outdeg) AS c "
             f"FROM led l JOIN s{i - 1} s ON l.src = s.id GROUP BY l.dst)"
-            f", s{i} AS (SELECT v.id, "
-            "(CAST(1 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / nn.n "
+            f", s{i} AS MATERIALIZED (SELECT v.id, "
+            "((CAST(1 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / nn.n "
+            f"+ {extra}) "
             "+ CAST(0.85 AS DOUBLE) * coalesce(m.c, CAST(0 AS DOUBLE)) AS pr "
-            f"FROM v CROSS JOIN nn LEFT JOIN m{i} m ON v.id = m.id)"
+            f"FROM v CROSS JOIN nn{cross_dm} LEFT JOIN m{i} m ON v.id = m.id)"
         )
     parts.append(
         f" SELECT id, round(pr, 6) AS pr FROM s{k} "
@@ -561,6 +578,38 @@ def q_pagerank_copurchase(spark, sf_dir):  # C1, fixed PR_K supersteps
     )
 
 
+def q_pagerank_redistribute(spark, sf_dir):  # C1, dangling mass redistributed
+    # on the bipartite co-purchase graph every supplier is dangling, so
+    # this mode's mass-conservation arithmetic is strongly exercised
+    from linkgraph.algorithms import pagerank
+    from linkgraph.graph import Graph
+
+    g = Graph.prepare(_copurchase_edges(spark, sf_dir))
+    state, _ = pagerank(
+        g, tol=0.0, max_supersteps=PR_K, dangling="redistribute"
+    )
+    return (
+        state.select("id", F.round("rank", 6).alias("pr"))
+        .orderBy(F.desc("pr"), F.asc("id"))
+        .limit(50)
+    )
+
+
+def q_pagerank_hot_broadcast(spark, sf_dir):  # B12: hot-vertex scatter split
+    # semantics-preserving by construction — the oracle is the SAME
+    # fixed-K PageRank SQL as the naive plan's
+    from linkgraph.algorithms import pagerank
+    from linkgraph.graph import Graph
+
+    g = Graph.prepare(_copurchase_edges(spark, sf_dir))
+    state, _ = pagerank(g, tol=0.0, max_supersteps=PR_K, hot_threshold=40)
+    return (
+        state.select("id", F.round("rank", 6).alias("pr"))
+        .orderBy(F.desc("pr"), F.asc("id"))
+        .limit(50)
+    )
+
+
 def q_pagerank_csr_kernel(spark, sf_dir):  # C1 via CSR gather-scatter kernel
     from linkgraph.csr import pagerank_csr
     from linkgraph.graph import Graph
@@ -675,6 +724,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup": q_embedding_neardup,
         # rows-only (non-SQL-expressible)
         "pagerank_copurchase": q_pagerank_copurchase,
+        "pagerank_redistribute": q_pagerank_redistribute,
+        "pagerank_hot_broadcast": q_pagerank_hot_broadcast,
         "pagerank_csr_kernel": q_pagerank_csr_kernel,
         "lpa_copurchase": q_lpa_copurchase,
         "minhash_lsh_candidates": q_minhash_lsh_candidates,
@@ -883,6 +934,8 @@ def oracle_sql() -> dict[str, str]:
             "FROM embeddings, q ORDER BY cosine DESC, vec_id ASC LIMIT 10"
         ),
         "pagerank_copurchase": _pagerank_oracle_sql(PR_K),
+        "pagerank_redistribute": _pagerank_oracle_sql(PR_K, dangling="redistribute"),
+        "pagerank_hot_broadcast": _pagerank_oracle_sql(PR_K),
         "pagerank_csr_kernel": _pagerank_oracle_sql(PR_K),
         "lpa_copurchase": _lpa_oracle_sql(LPA_K),
         "minhash_lsh_candidates": _minhash_oracle_sql(),
