@@ -169,6 +169,17 @@ def q_triangles_pervertex(spark, sf_dir):  # C4 engine plan vs SQL credits
     return per_vertex.select(F.col("id"), "triangles")
 
 
+def q_clustering_coeff(spark, sf_dir):  # C4 extra: local clustering coeff
+    from linkgraph.algorithms.triangles import clustering_coefficient
+    from linkgraph.graph import Graph
+
+    edges = _cosupply_edges(spark, sf_dir).select(
+        F.col("u").alias("src"), F.col("v").alias("dst")
+    )
+    g = Graph.prepare(edges)
+    return clustering_coefficient(g).select("id", F.round("cc", 6).alias("cc"))
+
+
 SSSP_MAX = 200  # one constant for engine max_supersteps AND oracle hop cap
 
 
@@ -705,6 +716,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank_step1": q_pagerank_step1,
         "components_min_label": q_components_min_label,
         "triangles_pervertex": q_triangles_pervertex,
+        "clustering_coeff": q_clustering_coeff,
         "sssp_hops": q_sssp_hops,
         "sales_cube": q_sales_cube,
         "sales_rollup": q_sales_rollup,
@@ -788,6 +800,22 @@ def oracle_sql() -> dict[str, str]:
             "cnt AS (SELECT id, count(*) AS t FROM cr GROUP BY id) "
             "SELECT v.id AS id, CAST(coalesce(cnt.t, 0) AS BIGINT) AS triangles "
             "FROM v LEFT JOIN cnt ON v.id = cnt.id"
+        ),
+        "clustering_coeff": (
+            f"WITH e AS ({_COSUPPLY_SQL}), "
+            "vv AS (SELECT u AS id FROM e UNION SELECT v FROM e), "
+            "tri AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c "
+            "  FROM e e1 JOIN e e2 ON e1.v = e2.u "
+            "  JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v), "
+            "cr AS (SELECT a AS id FROM tri UNION ALL SELECT b FROM tri "
+            "  UNION ALL SELECT c FROM tri), "
+            "cnt AS (SELECT id, count(*) AS t FROM cr GROUP BY id), "
+            "und AS (SELECT u AS s, v AS d2 FROM e UNION SELECT v, u FROM e), "
+            "deg AS (SELECT s AS id, count(*) AS d FROM und GROUP BY s) "
+            "SELECT vv.id AS id, round(CASE WHEN coalesce(deg.d, 0) >= 2 "
+            "THEN (CAST(2 AS DOUBLE) * coalesce(cnt.t, 0)) / (deg.d * (deg.d - 1)) "
+            "ELSE CAST(0 AS DOUBLE) END, 6) AS cc "
+            "FROM vv LEFT JOIN cnt ON vv.id = cnt.id LEFT JOIN deg ON vv.id = deg.id"
         ),
         "sssp_hops": (
             f"WITH RECURSIVE e AS ({_COPURCHASE_SQL}), "

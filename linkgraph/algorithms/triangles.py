@@ -110,6 +110,25 @@ def triangle_counts(
     return per_vertex, total, info
 
 
+def clustering_coefficient(graph: Graph) -> DataFrame:
+    """(id, cc) — local clustering coefficient over the simple
+    undirected graph: cc(v) = 2·triangles(v) / (deg(v)·(deg(v)−1)),
+    0.0 when deg(v) < 2. Reuses the degree-ordered triangle plan; the
+    degree join is one hash aggregate on the symmetrized edges."""
+    per_vertex, _, _ = triangle_counts(graph)
+    und = symmetrize(graph.edges)
+    deg = und.groupBy(F.col("src").alias("id")).agg(F.count(F.lit(1)).alias("d"))
+    return per_vertex.join(deg, "id", "left_outer").select(
+        "id",
+        F.when(
+            F.col("d") >= 2,
+            (F.lit(2.0) * F.col("triangles")) / (F.col("d") * (F.col("d") - 1)),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("cc"),
+    )
+
+
 def triangles_sql_plan(graph: Graph) -> DataFrame:
     """Global count via the 3-way self-join on a<b<c canonical edges —
     the DuckDB-oracle-checkable form (SURVEY §5.2 test 7)."""

@@ -137,3 +137,18 @@ def test_empty_graph_rejected(spark):
         pagerank(g)
     with pytest.raises(ValueError, match="empty graph"):
         pagerank_csr(g)
+
+
+def test_clustering_coefficient_matches_networkx(graph_builder):
+    import networkx as nx
+
+    from linkgraph.algorithms.triangles import clustering_coefficient
+
+    G = nx.karate_club_graph()
+    edges = [(u, v) for u, v in G.edges()]
+    g = graph_builder(edges)
+    got = {r["id"]: r["cc"] for r in clustering_coefficient(g).collect()}
+    want = nx.clustering(G)
+    assert set(got) == set(want)
+    for v in want:
+        assert abs(got[v] - want[v]) < 1e-12, v
