@@ -164,3 +164,19 @@ def test_cc_matches_networkx_hypothesis(spark, graph_builder):
         assert got == want
 
     run()
+
+
+def test_cc_idempotent_and_deterministic(spark, graph_builder):
+    """SURVEY §5.2(3c): re-running CC on the same graph reproduces the
+    labels exactly, and one further superstep over the converged state
+    changes nothing (a fixpoint is stable)."""
+    edges = _powerlaw(40, seed=11)
+    g = graph_builder(edges)
+    a, info_a = connected_components(g)
+    b, info_b = connected_components(g)
+    la = {r["id"]: r["comp"] for r in a.collect()}
+    lb = {r["id"]: r["comp"] for r in b.collect()}
+    assert la == lb
+    assert info_a.converged and info_b.converged
+    # the last recorded superstep has zero active vertices (fixpoint)
+    assert info_a.log[-1].active == 0

@@ -71,3 +71,33 @@ def test_salted_sum_equals_naive(spark):
     assert set(naive) == set(salted)
     for k in naive:
         assert abs(naive[k] - salted[k]) < 1e-9
+
+
+def test_salted_agg_bounds_per_task_share(spark):
+    """SURVEY §5.2 test 6: a mega-hub key must not funnel through one
+    reduce task. The salted phase-1 output is inspected per partition
+    (the B13 metrics view): the hub's mass is split over >1 sub-keys
+    and no phase-1 group carries more than a partition's worth."""
+    from pyspark.sql import functions as F
+
+    P_IN = 8
+    N = 40_000
+    msgs = (
+        spark.range(0, N)
+        .repartition(P_IN)
+        .select(F.lit(0).alias("dst"), F.lit(1.0).alias("contrib"))
+    )
+    partial = (
+        msgs.withColumn("_salt", F.pmod(F.spark_partition_id(), F.lit(16)))
+        .groupBy("dst", "_salt")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    rows = partial.collect()
+    assert len(rows) > 1  # the hot key IS split across sub-keys
+    assert sum(r["n"] for r in rows) == N
+    assert max(r["n"] for r in rows) <= N // P_IN  # ≤ one input partition's share
+    # and the final merge still yields the exact total
+    from linkgraph.skew import salted_sum
+
+    total = salted_sum(msgs, key="dst", value="contrib", salt=16).first()
+    assert total["contrib"] == float(N)
