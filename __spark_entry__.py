@@ -242,8 +242,11 @@ def q_click_only_days(spark, sf_dir):  # D7: set ops (EXCEPT/INTERSECT)
     ev = _t(spark, sf_dir, "events").select(
         F.to_date(F.date_trunc("DAY", F.col("ts"))).alias("day"), "event_type"
     )
-    types = [r["event_type"] for r in ev.select("event_type").distinct().collect()]
-    a, b = sorted(types)[0], sorted(types)[-1]  # deterministic pair
+    # deterministic pair via one agg row (mirrors the oracle's t CTE)
+    r = ev.agg(F.min("event_type").alias("a"), F.max("event_type").alias("b")).first()
+    if r["a"] is None:  # empty events table → empty result, like the oracle
+        return spark.createDataFrame([], "day date, kind string")
+    a, b = r["a"], r["b"]
     days_a = ev.filter(F.col("event_type") == a).select("day").distinct()
     days_b = ev.filter(F.col("event_type") == b).select("day").distinct()
     only_a = days_a.subtract(days_b).select("day", F.lit("only_first").alias("kind"))

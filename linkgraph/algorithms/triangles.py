@@ -33,18 +33,11 @@ from linkgraph.graph import Graph, symmetrize
 from linkgraph.pregel import RunInfo
 
 
-def triangle_counts(
-    graph: Graph, per_vertex: bool = True
-) -> tuple[DataFrame | None, int, RunInfo]:
-    """Returns (per_vertex(id, triangles) | None, global_count, RunInfo).
-
-    per_vertex=False skips the apex-credit explode — on very dense
-    graphs the credits stream is 3× the triangle count, which can dwarf
-    the counting itself; the global total never materializes it."""
-    t0 = time.monotonic()
+def _oriented_wedges(graph: Graph) -> tuple[DataFrame, DataFrame]:
+    """(deg(id, d), wedges(u, v, apexes, c)) — the shared degree-ordered
+    triangle discovery plan (lazy; callers decide persistence)."""
     spark = graph.edges.sparkSession
     p = int(spark.conf.get("spark.sql.shuffle.partitions"))
-
     und = symmetrize(graph.edges)  # both directions, simple
 
     # Orientation rank: (degree, id) totally orders vertices.
@@ -76,8 +69,36 @@ def triangle_counts(
         )
         .withColumn("c", F.size("apexes").cast("long"))
         .filter(F.col("c") > 0)
-        .persist()
     )
+    return deg, wedges
+
+
+def _credit_sums(wedges: DataFrame) -> DataFrame:
+    """(id, triangles) for vertices in ≥1 triangle: edge endpoints get
+    +|apexes| each, every apex +1 via explode."""
+    credits = (
+        wedges.select(F.col("u").alias("id"), F.col("c").alias("t"))
+        .unionByName(wedges.select(F.col("v").alias("id"), F.col("c").alias("t")))
+        .unionByName(
+            wedges.select(
+                F.explode("apexes").alias("id"), F.lit(1).cast("long").alias("t")
+            )
+        )
+    )
+    return credits.groupBy("id").agg(F.sum("t").alias("triangles"))
+
+
+def triangle_counts(
+    graph: Graph, per_vertex: bool = True
+) -> tuple[DataFrame | None, int, RunInfo]:
+    """Returns (per_vertex(id, triangles) | None, global_count, RunInfo).
+
+    per_vertex=False skips the apex-credit explode — on very dense
+    graphs the credits stream is 3× the triangle count, which can dwarf
+    the counting itself; the global total never materializes it."""
+    t0 = time.monotonic()
+    _, wedges = _oriented_wedges(graph)
+    wedges = wedges.persist()
 
     total_row = wedges.agg(F.sum("c").alias("s")).first()
     total = int(total_row["s"] or 0)
@@ -88,20 +109,16 @@ def triangle_counts(
         wedges.unpersist()
         return None, total, info
 
-    credits = (
-        wedges.select(F.col("u").alias("id"), F.col("c").alias("t"))
-        .unionByName(wedges.select(F.col("v").alias("id"), F.col("c").alias("t")))
-        .unionByName(
-            wedges.select(F.explode("apexes").alias("id"), F.lit(1).cast("long").alias("t"))
-        )
-    )
-    sums = credits.groupBy("id").agg(F.sum("t").alias("triangles"))
     per_vertex = (
-        graph.vertices.join(sums, "id", "left_outer")
+        graph.vertices.join(_credit_sums(wedges), "id", "left_outer")
         .select(
             "id",
             F.coalesce(F.col("triangles"), F.lit(0)).cast("long").alias("triangles"),
         )
+        # materialize from the cached wedges NOW — the caller consumes
+        # per_vertex after wedges.unpersist(), which would otherwise
+        # recompute the whole wedge join from scratch
+        .localCheckpoint()
     )
 
     info = RunInfo("triangles", supersteps=1, converged=True)
@@ -113,11 +130,14 @@ def triangle_counts(
 def clustering_coefficient(graph: Graph) -> DataFrame:
     """(id, cc) — local clustering coefficient over the simple
     undirected graph: cc(v) = 2·triangles(v) / (deg(v)·(deg(v)−1)),
-    0.0 when deg(v) < 2. Reuses the degree-ordered triangle plan; the
-    degree join is one hash aggregate on the symmetrized edges."""
-    per_vertex, _, _ = triangle_counts(graph)
-    und = symmetrize(graph.edges)
-    deg = und.groupBy(F.col("src").alias("id")).agg(F.count(F.lit(1)).alias("d"))
+    0.0 when deg(v) < 2. Shares the degree-ordered wedge plan with
+    triangle_counts but skips its global-total action and reuses ONE
+    degree aggregate for both the orientation and the final formula."""
+    deg, wedges = _oriented_wedges(graph)
+    per_vertex = graph.vertices.join(_credit_sums(wedges), "id", "left_outer").select(
+        "id",
+        F.coalesce(F.col("triangles"), F.lit(0)).cast("long").alias("triangles"),
+    )
     return per_vertex.join(deg, "id", "left_outer").select(
         "id",
         F.when(

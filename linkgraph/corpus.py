@@ -52,22 +52,47 @@ def read_corpus(spark, path: str, fmt: str = "parquet") -> DataFrame:
     CSV is read with multiLine+escaped quotes because `content` holds
     raw source code (embedded newlines and quotes are the norm).
     """
+    want = [f.name for f in CORPUS_SCHEMA]
     if fmt == "parquet":
         df = spark.read.parquet(path)
-        missing = [f.name for f in CORPUS_SCHEMA if f.name not in df.columns]
+        missing = [c for c in want if c not in df.columns]
         if missing:
             raise ValueError(f"corpus at {path} missing columns {missing}")
-        return df.select([f.name for f in CORPUS_SCHEMA])
+        return df.select(want)
     if fmt == "csv":
+        # An explicit schema binds CSV columns BY POSITION and skips the
+        # header unvalidated — a reordered or headerless file would load
+        # silently mis-assigned. Probe the header first (reads one file's
+        # first line, no data scan) and require the exact pinned order.
+        header = spark.read.option("header", True).csv(path).columns
+        if header != want:
+            raise ValueError(
+                f"corpus CSV at {path} has header {header}; "
+                f"the pinned column order {want} is required"
+            )
         return spark.read.csv(
             path,
             schema=CORPUS_SCHEMA,
             header=True,
             multiLine=True,
             escape='"',
+            mode="FAILFAST",  # malformed rows error, never null-filled
         )
     if fmt in ("json", "jsonl"):
-        return spark.read.json(path, schema=CORPUS_SCHEMA)
+        df = spark.read.json(path, schema=CORPUS_SCHEMA)
+        # JSON with an explicit schema NULL-fills missing/misnamed
+        # fields instead of erroring; probe one row so a corpus whose
+        # load-bearing fields don't match fails loudly, not with zero
+        # derived edges. repo and content may never be null in a valid
+        # corpus row (BASELINE input_hint), so null here means the
+        # field name didn't bind.
+        probe = df.limit(1).first()
+        if probe is not None and (probe["repo"] is None or probe["content"] is None):
+            raise ValueError(
+                f"corpus JSON at {path}: first row lacks repo/content — "
+                f"field names must match {want}"
+            )
+        return df
     raise ValueError(f"unsupported corpus format {fmt!r}")
 
 # One capture group each; (?m) anchors per line.

@@ -95,7 +95,9 @@ def test_salted_agg_bounds_per_task_share(spark):
     rows = partial.collect()
     assert len(rows) > 1  # the hot key IS split across sub-keys
     assert sum(r["n"] for r in rows) == N
-    assert max(r["n"] for r in rows) <= N // P_IN  # ≤ one input partition's share
+    # ≤ one round-robin'd input partition's share, with slack for
+    # uneven floor/ceil splits under other default parallelisms
+    assert max(r["n"] for r in rows) <= N // P_IN + P_IN
     # and the final merge still yields the exact total
     from linkgraph.skew import salted_sum
 
