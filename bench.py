@@ -19,9 +19,10 @@ Headline queries:
   knn_cosine         brute-force cosine top-10 over embeddings
 
 `python bench.py --scaling` additionally reruns pagerank at local[8]
-and local[32] on the same input and appends the scaling-efficiency
-evidence to BENCH/BASELINE.md (north-rule two-cluster-size criterion,
-evidenced in-sandbox as two parallelism levels).
+and local[32] on the same input and prints the scaling-efficiency
+JSON (north-rule two-cluster-size criterion, evidenced in-sandbox as
+two parallelism levels; the authoritative multi-executor measurements
+and their repro commands live in BENCH/BASELINE.md §1a).
 """
 
 from __future__ import annotations
