@@ -550,14 +550,43 @@ def _minhash_oracle_sql(
         "ex AS (SELECT doc_id, lower(text) AS lt, "
         "unnest(generate_series(1, "
         f"greatest(length(lower(text)) - {k - 1}, 1))) AS i FROM docs), "
-        f"sh AS (SELECT DISTINCT doc_id AS id, substr(lt, i, {k}) AS s FROM ex "
+        "sh AS MATERIALIZED (SELECT DISTINCT doc_id AS id, "
+        f"substr(lt, i, {k}) AS s FROM ex "
         f"WHERE length(substr(lt, i, {k})) = {k}), "
         f"hashed AS (SELECT id, {hash_cols} FROM sh), "
         f"sig AS (SELECT id, {mins} FROM hashed GROUP BY id), "
-        f"banded AS ({band_selects})"
-        f"{cap} "
-        f"SELECT DISTINCT a.id AS id_a, b.id AS id_b FROM {pair_src} a "
-        f"JOIN {pair_src} b ON a.band = b.band AND a.bh = b.bh AND a.id < b.id"
+        f"banded AS MATERIALIZED ({band_selects})"
+        f"{cap}, "
+        f"pairs AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b FROM {pair_src} a "
+        f"JOIN {pair_src} b ON a.band = b.band AND a.bh = b.bh AND a.id < b.id) "
+        "SELECT id_a, id_b FROM pairs"
+    )
+
+
+def _jaccard_oracle_sql(
+    k: int = 5, num_hashes: int = 16, bands: int = 4,
+    max_bucket_size: int = 10, threshold: float = 0.5,
+) -> str:
+    """Exact n-gram Jaccard over the capped LSH candidates: reuses the
+    near-dup pipeline CTEs, then scores each candidate pair as
+    |A∩B| / (|A|+|B|−|A∩B|) over the distinct shingle sets."""
+    base = _minhash_oracle_sql(
+        k=k, num_hashes=num_hashes, bands=bands,
+        dedup_first=True, max_bucket_size=max_bucket_size,
+    )
+    prefix = base.rsplit("SELECT id_a, id_b FROM pairs", 1)[0]
+    return (
+        prefix
+        + ", sz AS (SELECT id, count(*) AS n FROM sh GROUP BY id), "
+        "inter AS (SELECT a.id AS id_a, b.id AS id_b, count(*) AS i "
+        "FROM sh a JOIN sh b ON a.s = b.s AND a.id < b.id "
+        "GROUP BY a.id, b.id), "
+        "scored AS (SELECT p.id_a, p.id_b, "
+        "CAST(inter.i AS DOUBLE) / (sa.n + sb.n - inter.i) AS j "
+        "FROM pairs p JOIN inter ON p.id_a = inter.id_a AND p.id_b = inter.id_b "
+        "JOIN sz sa ON sa.id = p.id_a JOIN sz sb ON sb.id = p.id_b) "
+        f"SELECT id_a, id_b, round(j, 6) AS jaccard FROM scored "
+        f"WHERE j >= CAST({threshold} AS DOUBLE)"
     )
 
 
@@ -676,6 +705,28 @@ def q_near_dup_pipeline(spark, sf_dir):  # pipeline: the scale-safe composition
     )
 
 
+def q_jaccard_verified_pairs(spark, sf_dir):  # pipeline: exact verify stage
+    # the verification stage AFTER candidate generation: exact n-gram
+    # Jaccard scored only for the capped LSH candidates, thresholded
+    from linkgraph.pipeline.dedup import (
+        dedup_exact,
+        lsh_candidate_pairs,
+        minhash_signatures,
+        ngram_jaccard_pairs,
+        shingles,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    sh = shingles(dedup_exact(d), id_col="doc_id", text_col="text", k=5)
+    sig = minhash_signatures(sh, num_hashes=16, hash_mode="portable")
+    pairs = lsh_candidate_pairs(
+        sig, bands=4, hash_mode="portable", max_bucket_size=10
+    )
+    return ngram_jaccard_pairs(sh, pairs, threshold=0.5).select(
+        "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
+    )
+
+
 def q_ann_ivf(spark, sf_dir):  # pipeline: IVF-bucketed approximate NN
     # nprobe = n_centroids exercises the full IVF path (build, Lloyd,
     # probe ordering, bucket union) at recall 1.0 — so the result must
@@ -745,6 +796,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lpa_copurchase": q_lpa_copurchase,
         "minhash_lsh_candidates": q_minhash_lsh_candidates,
         "near_dup_pipeline": q_near_dup_pipeline,
+        "jaccard_verified_pairs": q_jaccard_verified_pairs,
         "ann_ivf": q_ann_ivf,
         "simhash_sample": q_simhash_sample,
     }
@@ -973,6 +1025,7 @@ def oracle_sql() -> dict[str, str]:
         "near_dup_pipeline": _minhash_oracle_sql(
             dedup_first=True, max_bucket_size=10
         ),
+        "jaccard_verified_pairs": _jaccard_oracle_sql(),
         "simhash_sample": _simhash_oracle_sql(),
         # nprobe=C IVF == exact brute-force cosine top-k (same SQL)
         "ann_ivf": (
