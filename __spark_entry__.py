@@ -689,7 +689,7 @@ def q_minhash_lsh_candidates(spark, sf_dir):  # pipeline: MinHash+LSH near-dup
     d = _t(spark, sf_dir, "documents")
     sh = shingles(d, id_col="doc_id", text_col="text", k=5)
     sig = minhash_signatures(sh, num_hashes=16, hash_mode="portable")
-    return lsh_candidate_pairs(sig, bands=4, hash_mode="portable")
+    return lsh_candidate_pairs(sig, bands=4, hash_mode="portable", num_hashes=16)
 
 
 def q_near_dup_pipeline(spark, sf_dir):  # pipeline: the scale-safe composition
@@ -720,7 +720,7 @@ def q_jaccard_verified_pairs(spark, sf_dir):  # pipeline: exact verify stage
     sh = shingles(dedup_exact(d), id_col="doc_id", text_col="text", k=5)
     sig = minhash_signatures(sh, num_hashes=16, hash_mode="portable")
     pairs = lsh_candidate_pairs(
-        sig, bands=4, hash_mode="portable", max_bucket_size=10
+        sig, bands=4, hash_mode="portable", max_bucket_size=10, num_hashes=16
     )
     return ngram_jaccard_pairs(sh, pairs, threshold=0.5).select(
         "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")

@@ -135,7 +135,7 @@ def run_suite(spark, sf_dir: str) -> tuple[dict, dict]:
     def run_minhash():
         sh = shingles(docs, k=5)
         sig = minhash_signatures(sh, num_hashes=16)
-        return lsh_candidate_pairs(sig, bands=4).count()
+        return lsh_candidate_pairs(sig, bands=4, num_hashes=16).count()
 
     meta["minhash_candidates"] = timed("minhash_lsh", run_minhash)
 
@@ -263,11 +263,63 @@ def scaling_report(lo: int = 8, hi: int = 32) -> dict:
     return out
 
 
+def dedup_stress(cpus: int) -> dict:
+    """Dup-heavy worst case (BENCH §2a): 25k docs, 20k byte-identical.
+    Times the capped candidate pipeline AND the exact Jaccard verify
+    stage — the verify must be candidate-bounded (built FROM the LSH
+    pairs), so its wall tracks |candidates|, not corpus co-shingles."""
+    from linkgraph.pipeline.dedup import (
+        dedup_exact,
+        lsh_candidate_pairs,
+        minhash_signatures,
+        ngram_jaccard_pairs,
+        shingles,
+    )
+
+    spark = _session(cpus)
+    try:
+        texts = [
+            (i, "lorem ipsum dolor sit amet consectetur " * 6, "b")
+            for i in range(20000)
+        ] + [
+            (100_000 + i, f"distinct document number {i} about engine topic {i % 97}", "d")
+            for i in range(5000)
+        ]
+        df = spark.createDataFrame(texts, "doc_id long, text string, source string").cache()
+        df.count()
+        t0 = time.monotonic()
+        sh = shingles(dedup_exact(df), k=5).localCheckpoint()
+        sig = minhash_signatures(sh, num_hashes=16)
+        pairs = lsh_candidate_pairs(
+            sig, bands=4, num_hashes=16, max_bucket_size=1000
+        ).localCheckpoint()
+        n_cand = pairs.count()
+        t_cand = time.monotonic() - t0
+        t1 = time.monotonic()
+        n_verified = ngram_jaccard_pairs(sh, pairs, threshold=0.8).count()
+        t_verify = time.monotonic() - t1
+        return {
+            "metric": "dedup_stress",
+            "docs": 25000,
+            "identical": 20000,
+            "candidates": n_cand,
+            "candidates_sec": round(t_cand, 3),
+            "verified_ge_0.8": n_verified,
+            "verify_sec": round(t_verify, 3),
+            "cpus": cpus,
+        }
+    finally:
+        spark.stop()
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 32))
     sf = sf_dir.rstrip("/").split("sf")[-1]
 
+    if "--dedup-stress" in sys.argv:
+        print(json.dumps(dedup_stress(cpus)))
+        return
     if "--throughput" in sys.argv:
         i = sys.argv.index("--throughput")
         print(json.dumps(pagerank_throughput(int(sys.argv[i + 1]), sys.argv[i + 2])))

@@ -117,11 +117,18 @@ def lsh_candidate_pairs(
     bands: int = 4,
     hash_mode: str = "xxhash64",
     max_bucket_size: int | None = None,
+    num_hashes: int | None = None,
 ) -> DataFrame:
     """Candidate near-dup pairs (id_a < id_b) sharing ≥1 LSH band.
 
     Band hash = hash64 of the band's signature slice. The self-join is
     keyed on (band, band_hash) — docs never compare across buckets.
+
+    num_hashes is the signature length. Pass it (every caller knows it
+    from minhash_signatures) — probing it from the data costs one full
+    execution of the shingle→hash→min pipeline BEFORE the
+    localCheckpoint below materializes it. The probe fallback exists
+    only for signatures of unknown provenance.
 
     max_bucket_size bounds the m² blowup of a bucket of m
     near-identical docs (guaranteed on dup-heavy crawl data): buckets
@@ -131,10 +138,15 @@ def lsh_candidate_pairs(
     bucket means heavy boilerplate, which the cap turns from a
     scale-killer into a logged skip.
     """
-    sig_len_row = signatures.select(F.size("sig").alias("n")).first()
-    if sig_len_row is None:
-        return signatures.sparkSession.createDataFrame([], "id_a long, id_b long")
-    sig_len = int(sig_len_row["n"])
+    if num_hashes is not None:
+        sig_len = int(num_hashes)
+        if sig_len <= 0:
+            raise ValueError(f"num_hashes must be positive, got {num_hashes}")
+    else:
+        sig_len_row = signatures.select(F.size("sig").alias("n")).first()
+        if sig_len_row is None:
+            return signatures.sparkSession.createDataFrame([], "id_a long, id_b long")
+        sig_len = int(sig_len_row["n"])
     if bands <= 0 or bands > sig_len or sig_len % bands != 0:
         raise ValueError(
             f"bands={bands} must divide the signature length {sig_len} "
@@ -209,21 +221,39 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """Exact Jaccard over shingle sets: (id_a, id_b, jaccard).
 
-    With `pairs` given (LSH candidates), only those pairs are scored —
-    a semi-join keeps the shingle explosion bounded. Without, all pairs
-    sharing ≥1 shingle are scored (exact, small corpora only).
+    With `pairs` given (LSH candidates), the intersection is built FROM
+    the candidates — `pairs ⋈ sh(id_a) ⋈ sh(id_b, shingle)` — so the
+    verify stage's cost is bounded by |pairs| × shingles-per-doc and
+    inherits LSH's cap. (The naive alternative — self-join sh on
+    shingle, THEN semi-filter to pairs — re-explodes every co-shingle
+    pair in the corpus: a hot boilerplate shingle shared by m docs
+    costs m² join rows, the exact blowup the capped LSH stage upstream
+    just eliminated. Catalyst can push a semi-join below the aggregate
+    but not below the self-join, so the ordering must be explicit.)
+    Without `pairs`, all pairs sharing ≥1 shingle are scored (exact,
+    small corpora only).
     """
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
     a = sh.select(F.col("id").alias("id_a"), "shingle")
     b = sh.select(F.col("id").alias("id_b"), "shingle")
-    inter = (
-        a.join(b, "shingle")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("i"))
-    )
     if pairs is not None:
-        inter = inter.join(pairs, ["id_a", "id_b"], "left_semi")
+        # distinct: duplicate candidate rows would multiply the
+        # intersection counts; |pairs| is cap-bounded so this is cheap
+        inter = (
+            pairs.select("id_a", "id_b")
+            .distinct()
+            .join(a, "id_a")
+            .join(b, ["id_b", "shingle"])
+            .groupBy("id_a", "id_b")
+            .agg(F.count(F.lit(1)).alias("i"))
+        )
+    else:
+        inter = (
+            a.join(b, "shingle")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .groupBy("id_a", "id_b")
+            .agg(F.count(F.lit(1)).alias("i"))
+        )
     scored = (
         inter.join(sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sa")), "id_a")
         .join(sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sb")), "id_b")
@@ -255,7 +285,11 @@ def near_dup_candidates(
     sh = shingles(deduped, id_col=id_col, text_col=text_col, k=k)
     sig = minhash_signatures(sh, num_hashes=num_hashes, hash_mode=hash_mode)
     return lsh_candidate_pairs(
-        sig, bands=bands, hash_mode=hash_mode, max_bucket_size=max_bucket_size
+        sig,
+        bands=bands,
+        hash_mode=hash_mode,
+        max_bucket_size=max_bucket_size,
+        num_hashes=num_hashes,
     )
 
 

@@ -276,3 +276,69 @@ def test_multimodal_resize(spark):
     assert len(rows) == media.filter("kind='image'").count()
     for r in rows:
         assert decode_ppm(bytes(r["payload"])).shape == (5, 8, 3)
+
+
+def test_jaccard_verify_is_candidate_driven(spark):
+    """Verify stage must build intersections FROM the LSH candidates:
+    no join in the plan keyed on `shingle` alone (the all-co-shingle
+    self-join would cost m² rows for a hot shingle shared by m docs,
+    defeating the capped-LSH stage upstream), and the scores must equal
+    the exact all-pairs path restricted to the same candidates."""
+    import re
+
+    rows = [
+        (i, f"common boilerplate header line with unique tail token{i}", "s")
+        for i in range(50)
+    ]
+    rows += [
+        (1000, "alpha beta gamma delta epsilon zeta", "p"),
+        (1001, "alpha beta gamma delta epsilon eta", "p"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    sh = shingles(df, k=4)
+    sig = minhash_signatures(sh, num_hashes=16)
+    pairs = lsh_candidate_pairs(sig, bands=8, num_hashes=16)
+    scored = ngram_jaccard_pairs(sh, pairs)
+    exact_restricted = ngram_jaccard_pairs(sh).join(
+        pairs, ["id_a", "id_b"], "left_semi"
+    )
+    got = {(r["id_a"], r["id_b"]): round(r["jaccard"], 9) for r in scored.collect()}
+    want = {
+        (r["id_a"], r["id_b"]): round(r["jaccard"], 9)
+        for r in exact_restricted.collect()
+    }
+    assert got == want and (1000, 1001) in got
+
+    plan = scored._jdf.queryExecution().executedPlan().toString()
+    join_keys = re.findall(
+        r"(?:SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin)\w*\s+\[([^\]]*)\]",
+        plan,
+    )
+    assert join_keys  # the plan does contain joins
+    for keys in join_keys:
+        # every shingle-keyed join must also be keyed on a doc id —
+        # i.e. candidate-restricted, never the raw shingle self-join
+        assert "shingle" not in keys or "id" in keys, plan
+
+
+def test_lsh_num_hashes_skips_probe_materialization(spark):
+    """Passing num_hashes must eliminate the extra full execution of
+    the shingle→hash→min pipeline that the size-probe `.first()` costs
+    (VERDICT r2 #5): strictly fewer Spark jobs for the same result."""
+    df = docs_df(spark)
+    sh = shingles(df, k=4)
+    sig = minhash_signatures(sh, num_hashes=16)
+    sc = spark.sparkContext
+    tracker = sc.statusTracker()
+
+    sc.setJobGroup("lsh_with_nh", "lsh with num_hashes")
+    with_rows = lsh_candidate_pairs(sig, bands=8, num_hashes=16).count()
+    n_with = len(tracker.getJobIdsForGroup("lsh_with_nh"))
+
+    sc.setJobGroup("lsh_probe", "lsh probing signature length")
+    probe_rows = lsh_candidate_pairs(sig, bands=8).count()
+    n_probe = len(tracker.getJobIdsForGroup("lsh_probe"))
+    sc.setLocalProperty("spark.jobGroup.id", None)
+
+    assert with_rows == probe_rows
+    assert n_with < n_probe
