@@ -55,20 +55,32 @@ def pagerank_spec(
     dangling: str = "drop",
     hot_ids=None,
     dangling_ids=None,
+    n_dangling: int = 0,
 ) -> PregelSpec:
     """The PageRank vertex program as a PregelSpec (n = |V|, frozen).
 
     Exposed separately from pagerank() so plan tests gate the REAL
     superstep builder (spec.step), not a hand-built copy of it.
+
+    dangling="redistribute" is the paper-§3.3 aggregator pattern, ONE
+    action per superstep: state carries a static `is_dangling` flag,
+    the dangling mass is a `spec.metrics` entry summed in the SAME
+    barrier job as the delta, and superstep S+1 reads it from `aggs`
+    (pregel_run feeds superstep S's aggregates forward). Superstep 1
+    uses the closed form n_dangling/n (uniform init). The previous
+    design — a full-|V| semi-join + sum action inside step() — paid a
+    second driver action per superstep, doubling fixed latency.
     """
     if dangling not in ("drop", "redistribute"):
         raise ValueError(f"dangling must be drop|redistribute, got {dangling!r}")
-    if dangling == "redistribute" and dangling_ids is None:
+    redistribute = dangling == "redistribute"
+    if redistribute and dangling_ids is None:
         raise ValueError(
             "dangling='redistribute' needs dangling_ids (the vertices "
             "with no out-edges) — pagerank() threads it automatically"
         )
     base = (1.0 - d) / n
+    dm0 = n_dangling / n  # dangling mass of the uniform init state
 
     def prepare_links(edges):
         # out-edges with the sender's degree attached: the per-superstep
@@ -76,15 +88,23 @@ def pagerank_spec(
         deg = out_degrees(edges).withColumnRenamed("id", "src")
         return edges.join(deg, "src").select("src", "dst", "outdeg")
 
+    def init_state(verts):
+        s = verts.select("id", F.lit(1.0 / n).cast("double").alias("rank"))
+        if redistribute:
+            flag = dangling_ids.select(
+                "id", F.lit(1.0).alias("is_dangling")
+            )
+            s = s.join(flag, "id", "left").withColumn(
+                "is_dangling", F.coalesce(F.col("is_dangling"), F.lit(0.0))
+            )
+        return s
+
     def step(links, state, frontier, aggs):
         extra = 0.0
-        if dangling == "redistribute":
-            dm = (
-                state.join(dangling_ids, "id", "left_semi")
-                .agg(F.sum("rank").alias("m"))
-                .first()["m"]
-            )
-            extra = d * float(dm or 0.0) / n
+        if redistribute:
+            dm = aggs.get("dangling_mass")
+            dm = dm0 if dm is None else float(dm or 0.0)
+            extra = d * dm / n
         if hot_ids is not None:
             from linkgraph.skew import scatter_hot_broadcast
 
@@ -93,30 +113,39 @@ def pagerank_spec(
             contribs = links.join(
                 state.withColumnRenamed("id", "src"), "src"
             ).select("dst", (F.col("rank") / F.col("outdeg")).alias("contrib"))
-        carried = state.select(
+        contribs = contribs.withColumn("old", F.lit(0.0))
+        carried_cols = [
             F.col("id").alias("dst"),
             F.lit(0.0).alias("contrib"),
             F.col("rank").alias("old"),
-        )
+        ]
+        aggregates = [
+            (F.lit(base + extra) + F.lit(d) * F.sum("contrib")).alias("rank"),
+            F.sum("old").alias("rank_old"),
+        ]
+        if redistribute:
+            # the flag rides the carried marker rows; max() restores it
+            # (contrib rows carry 0, every vertex has exactly one carried row)
+            contribs = contribs.withColumn("is_dang", F.lit(0.0))
+            carried_cols.append(F.col("is_dangling").alias("is_dang"))
+            aggregates.append(F.max("is_dang").alias("is_dangling"))
+        carried = state.select(*carried_cols)
         return (
-            contribs.withColumn("old", F.lit(0.0))
-            .unionByName(carried)
+            contribs.unionByName(carried)
             .groupBy(F.col("dst").alias("id"))
-            .agg(
-                (F.lit(base + extra) + F.lit(d) * F.sum("contrib")).alias("rank"),
-                F.sum("old").alias("rank_old"),
-            )
+            .agg(*aggregates)
         )
 
+    metrics = {"delta": F.sum(F.abs(F.col("rank") - F.col("rank_old")))}
+    if redistribute:
+        metrics["dangling_mass"] = F.sum(F.col("rank") * F.col("is_dangling"))
     return PregelSpec(
         algo="pagerank",
-        state_cols=("rank",),
-        init_state=lambda verts: verts.select(
-            "id", F.lit(1.0 / n).cast("double").alias("rank")
-        ),
+        state_cols=("rank", "is_dangling") if redistribute else ("rank",),
+        init_state=init_state,
         prepare_links=prepare_links,
         step=step,
-        metrics={"delta": F.sum(F.abs(F.col("rank") - F.col("rank_old")))},
+        metrics=metrics,
         halt=lambda a: a.get("delta") is not None and float(a["delta"]) < tol,
         frontier_filter=None,  # every vertex scatters every superstep
     )
@@ -151,14 +180,19 @@ def pagerank(
         hot_ids.count()
 
     dangling_ids = None
+    n_dangling = 0
     if dangling == "redistribute":
         dangling_ids = graph.vertices.join(
             out_degrees(graph.edges), "id", "left_anti"
         ).persist()
+        # one count at setup seeds superstep 1's dangling mass
+        # (n_dangling/n on the uniform init); every later superstep
+        # reads the mass from the previous barrier's aggregates
+        n_dangling = dangling_ids.count()
 
     spec = pagerank_spec(
         n, d=d, tol=tol, dangling=dangling,
-        hot_ids=hot_ids, dangling_ids=dangling_ids,
+        hot_ids=hot_ids, dangling_ids=dangling_ids, n_dangling=n_dangling,
     )
     state, info = pregel_run(
         graph, spec, max_supersteps=max_supersteps, checkpointer=checkpointer
@@ -167,4 +201,4 @@ def pagerank(
         hot_ids.unpersist()
     if dangling_ids is not None:
         dangling_ids.unpersist()
-    return state, info
+    return state.select("id", "rank"), info

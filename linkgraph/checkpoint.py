@@ -71,9 +71,17 @@ class CheckpointManager:
         state: DataFrame,
         delta: float | None = None,
         active: int | None = None,
+        aggregates: dict | None = None,
         extra_meta: dict | None = None,
     ) -> DataFrame:
-        """Write a snapshot + lineage rows; return the read-back state."""
+        """Write a snapshot + lineage rows; return the read-back state.
+
+        `aggregates` (the superstep's spec.metrics values) rides the
+        snapshot meta so a resumed run re-enters the loop with the same
+        aggregator state the next step() would have seen (paper §3.3 —
+        aggregates of superstep S are input to S+1; without them a
+        metric-dependent program like redistribute-mode PageRank would
+        restart from its superstep-1 closed form mid-run)."""
         t0 = time.monotonic()
         snap = self.catalog.write_snapshot(
             self._state_table(algo),
@@ -82,6 +90,11 @@ class CheckpointManager:
                 "run_id": self.run_id,
                 "algorithm": algo,
                 "superstep": superstep,
+                **(
+                    {"aggregates": {k: v for k, v in aggregates.items()}}
+                    if aggregates
+                    else {}
+                ),
                 **(extra_meta or {}),
             },
         )
@@ -116,12 +129,19 @@ class CheckpointManager:
         return self.checkpoint(algo, superstep, state, **metrics)
 
     def finish(
-        self, algo: str, superstep: int, state: DataFrame, converged: bool = False
+        self,
+        algo: str,
+        superstep: int,
+        state: DataFrame,
+        converged: bool = False,
+        aggregates: dict | None = None,
     ) -> None:
         """Mark the run finished. If the last checkpoint already holds
         this superstep's state, only retag its meta (skips rewriting
         the snapshot — the write dominated short CLI runs); otherwise
-        write a final snapshot carrying the flags."""
+        write a final snapshot carrying the flags (and the final
+        aggregates, so resuming an unconverged max_supersteps run
+        re-enters with the right aggregator state)."""
         extra = {"final": True, "converged": bool(converged)}
         last = self._last.get(algo)
         if last is not None and last[0] == superstep:
@@ -133,7 +153,9 @@ class CheckpointManager:
                     predicate=lambda m: m.get("run_id") == self.run_id,
                 )
                 return
-        self.checkpoint(algo, superstep, state, extra_meta=extra)
+        self.checkpoint(
+            algo, superstep, state, aggregates=aggregates, extra_meta=extra
+        )
 
     def try_resume(self, algo: str) -> tuple[int, DataFrame, dict] | None:
         """Latest committed (superstep, state, meta) for this run_id.

@@ -125,20 +125,33 @@ def pagerank_csr(
             {"dst": indices, "contrib": np.repeat(contrib, outdeg)}
         )
 
+    redistribute = dangling == "redistribute"
     dangling_ids = None
-    if dangling == "redistribute":
+    n_dangling = 0
+    if redistribute:
         deg_ids = graph.edges.select(F.col("src").alias("id")).distinct()
         dangling_ids = graph.vertices.join(deg_ids, "id", "left_anti").persist()
+        n_dangling = dangling_ids.count()
+    dm0 = n_dangling / n
+
+    def init_state(verts):
+        s = verts.select("id", F.lit(1.0 / n).cast("double").alias("rank"))
+        if redistribute:
+            flag = dangling_ids.select("id", F.lit(1.0).alias("is_dangling"))
+            s = s.join(flag, "id", "left").withColumn(
+                "is_dangling", F.coalesce(F.col("is_dangling"), F.lit(0.0))
+            )
+        return s
 
     def step(links, state, frontier, aggs):
         extra = 0.0
-        if dangling == "redistribute":
-            dm = (
-                state.join(dangling_ids, "id", "left_semi")
-                .agg(F.sum("rank").alias("m"))
-                .first()["m"]
-            )
-            extra = d * float(dm or 0.0) / n
+        if redistribute:
+            # dangling mass is a spec.metrics aggregate of the PREVIOUS
+            # barrier (paper §3.3) — no extra per-superstep action; the
+            # first superstep uses the closed form n_dangling/n
+            dm = aggs.get("dangling_mass")
+            dm = dm0 if dm is None else float(dm or 0.0)
+            extra = d * dm / n
         # pk computed HERE from id (never stored in state): a resumed
         # run under a different shuffle-partition count would otherwise
         # cogroup stale pk values against a freshly packed CSR
@@ -150,29 +163,35 @@ def pagerank_csr(
             .applyInPandas(scatter, schema="dst long, contrib double")
             .withColumn("old", F.lit(0.0))
         )
-        carried = state.select(
+        carried_cols = [
             F.col("id").alias("dst"),
             F.lit(0.0).alias("contrib"),
             F.col("rank").alias("old"),
-        )
+        ]
+        aggregates = [
+            (F.lit(base + extra) + F.lit(d) * F.sum("contrib")).alias("rank"),
+            F.sum("old").alias("rank_old"),
+        ]
+        if redistribute:
+            contribs = contribs.withColumn("is_dang", F.lit(0.0))
+            carried_cols.append(F.col("is_dangling").alias("is_dang"))
+            aggregates.append(F.max("is_dang").alias("is_dangling"))
         return (
-            contribs.unionByName(carried)
+            contribs.unionByName(state.select(*carried_cols))
             .groupBy(F.col("dst").alias("id"))
-            .agg(
-                (F.lit(base + extra) + F.lit(d) * F.sum("contrib")).alias("rank"),
-                F.sum("old").alias("rank_old"),
-            )
+            .agg(*aggregates)
         )
 
+    metrics = {"delta": F.sum(F.abs(F.col("rank") - F.col("rank_old")))}
+    if redistribute:
+        metrics["dangling_mass"] = F.sum(F.col("rank") * F.col("is_dangling"))
     spec = PregelSpec(
         algo="pagerank_csr",
-        state_cols=("rank",),
-        init_state=lambda verts: verts.select(
-            "id", F.lit(1.0 / n).cast("double").alias("rank")
-        ),
+        state_cols=("rank", "is_dangling") if redistribute else ("rank",),
+        init_state=init_state,
         prepare_links=lambda edges: pack_csr(edges, p),
         step=step,
-        metrics={"delta": F.sum(F.abs(F.col("rank") - F.col("rank_old")))},
+        metrics=metrics,
         halt=lambda a: a.get("delta") is not None and float(a["delta"]) < tol,
         frontier_filter=None,
         links_key="pk",

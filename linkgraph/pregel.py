@@ -178,6 +178,7 @@ def pregel_run(
     # recorded converged must return without paying the prep job
     start_step = 0
     state = None
+    resumed_aggs: dict = {}
     if checkpointer is not None:
         resumed = checkpointer.try_resume(spec.algo)
         if resumed is not None:
@@ -187,6 +188,10 @@ def pregel_run(
                 info.supersteps = start_step
                 return state, info
             state = truncate_lineage(state.repartition(p, "id"))
+            # restore the checkpointed aggregator values (paper §3.3):
+            # the first post-resume step() must see superstep S's
+            # aggregates exactly as an uninterrupted run would
+            resumed_aggs = meta.get("aggregates") or {}
 
     links = build_links(edges)
     if state is None:
@@ -197,7 +202,7 @@ def pregel_run(
     # tolerate a too-large frontier at the cost of one superstep)
     frontier = state
 
-    aggs: dict = {}
+    aggs: dict = resumed_aggs
     step_i = start_step
     converged = False
     while step_i < max_supersteps and not converged:
@@ -231,6 +236,7 @@ def pregel_run(
                 state,
                 delta=aggs.get("delta"),
                 active=aggs.get("active"),
+                aggregates=dict(aggs),
             )
             if cp is not None:
                 state = cp  # durable read-back replaces in-memory state
@@ -273,5 +279,7 @@ def pregel_run(
     info.supersteps = step_i
     links.unpersist()
     if checkpointer is not None:
-        checkpointer.finish(spec.algo, step_i, state, converged=converged)
+        checkpointer.finish(
+            spec.algo, step_i, state, converged=converged, aggregates=dict(aggs)
+        )
     return state, info

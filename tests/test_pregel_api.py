@@ -183,3 +183,29 @@ def test_mutation_preserves_weights_and_isolated_vertices(spark):
     assert got[0] == 0.0 and got[1] == 2.0
     assert got[2] == 7.0  # via 0→1→2 (2+5), beats the added 10.0 edge
     assert got[9] == float("inf")  # isolated vertex still present
+
+
+def test_redistribute_mode_no_extra_actions_per_superstep(spark, graph_builder):
+    """dangling='redistribute' must cost the SAME number of Spark jobs
+    per superstep as 'drop' (VERDICT r2 #2): the dangling mass rides
+    the barrier job's metrics instead of a per-superstep semi-join
+    action. Measured as the job-count DELTA between K=4 and K=8 runs,
+    which cancels one-time setup jobs."""
+    from linkgraph.algorithms import pagerank
+
+    g = graph_builder([(0, 1), (1, 2), (0, 2), (2, 3), (4, 3)])
+    sc = spark.sparkContext
+    tracker = sc.statusTracker()
+
+    def jobs(mode: str, k: int, tag: str) -> int:
+        sc.setJobGroup(tag, tag)
+        state, _ = pagerank(g, tol=0.0, max_supersteps=k, dangling=mode)
+        state.count()
+        return len(tracker.getJobIdsForGroup(tag))
+
+    d4 = jobs("drop", 4, "pr_d4")
+    d8 = jobs("drop", 8, "pr_d8")
+    r4 = jobs("redistribute", 4, "pr_r4")
+    r8 = jobs("redistribute", 8, "pr_r8")
+    sc.setLocalProperty("spark.jobGroup.id", None)
+    assert (r8 - r4) == (d8 - d4)

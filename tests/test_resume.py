@@ -98,3 +98,31 @@ def test_pagerank_csr_resume(spark, catalog, graph_builder):
     got = ranks_of(state_b, 34)
     assert np.allclose(got, full, atol=1e-12)
     assert info_b.supersteps == full_info.supersteps
+
+
+def test_pagerank_redistribute_resume_restores_aggregates(spark, catalog, graph_builder):
+    """Redistribute mode depends on the previous barrier's dangling-mass
+    aggregate; a resumed run must restore it from the checkpoint meta
+    (not fall back to the superstep-1 closed form), so resumed ==
+    uninterrupted on a graph with real dangling mass."""
+    # 3 and 6 have no out-edges → nonzero, superstep-varying dangling mass
+    edges = [(0, 1), (1, 2), (2, 3), (0, 4), (4, 3), (5, 6), (1, 6)]
+    g = graph_builder(edges)
+    full_state, full_info = pagerank(g, tol=1e-12, dangling="redistribute")
+    full = ranks_of(full_state, 7)
+
+    ck = CheckpointManager(catalog, run_id="rd1", every=3)
+    _, info_a = pagerank(
+        g, tol=1e-12, max_supersteps=7, dangling="redistribute", checkpointer=ck
+    )
+    assert info_a.supersteps == 7
+    ck2 = CheckpointManager(catalog, run_id="rd1", every=3)
+    resumed = ck2.try_resume("pagerank")
+    assert resumed is not None and "aggregates" in resumed[2]
+    assert resumed[2]["aggregates"].get("dangling_mass") is not None
+    state_b, info_b = pagerank(
+        g, tol=1e-12, dangling="redistribute", checkpointer=ck2
+    )
+    got = ranks_of(state_b, 7)
+    assert np.allclose(got, full, atol=1e-12)
+    assert info_b.supersteps == full_info.supersteps
