@@ -728,21 +728,28 @@ def q_jaccard_verified_pairs(spark, sf_dir):  # pipeline: exact verify stage
 
 
 def q_ann_ivf(spark, sf_dir):  # pipeline: IVF-bucketed approximate NN
-    # nprobe = n_centroids exercises the full IVF path (build, Lloyd,
-    # probe ordering, bucket union) at recall 1.0 — so the result must
-    # EQUAL exact brute-force top-k, giving the path a real oracle
-    # (the knn_cosine SQL). nprobe < C recall is covered by tests.
-    from linkgraph.pipeline.similarity import ivf_build, ivf_topk
+    # THE production path end-to-end: build → ivf_write (partitionBy
+    # bucket) → ivf_topk_stored, whose bucket filter prunes at the file
+    # source (PartitionFilters, plan-asserted in test_plans). nprobe =
+    # n_centroids exercises the full path (build, Lloyd, probe
+    # ordering, bucket union) at recall 1.0 — so the result must EQUAL
+    # exact brute-force top-k, giving the path a real oracle (the
+    # knn_cosine SQL). nprobe < C recall is covered by tests.
+    import tempfile
+
+    from linkgraph.pipeline.similarity import ivf_build, ivf_topk_stored, ivf_write
 
     emb = _t(spark, sf_dir, "embeddings")
     n_vecs = emb.count()
     qvec = [float(x) for x in emb.filter("vec_id = 0").first()["embedding"]]
     assigned, cents = ivf_build(emb, n_centroids=8, lloyd_iters=1)
+    path = tempfile.mkdtemp(prefix="ivf_entry_")
+    ivf_write(assigned, path)
     # round BEFORE ordering/cutting (like the oracle and q_knn_cosine):
     # cutting on unrounded cosine could pick a different top-10 set
     # when two cosines tie at 6 dp — so take all candidates (k=n) and
     # apply the rounded-order limit here
-    full = ivf_topk(assigned, cents, qvec, k=int(n_vecs), nprobe=8)
+    full = ivf_topk_stored(spark, path, cents, qvec, k=int(n_vecs), nprobe=8)
     return (
         full.select("vec_id", F.round("cosine", 6).alias("cosine"))
         .orderBy(F.desc("cosine"), F.asc("vec_id"))

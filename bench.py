@@ -312,11 +312,51 @@ def dedup_stress(cpus: int) -> dict:
         spark.stop()
 
 
+def ivf_bench(cpus: int, sf_dir: str, n_centroids: int = 256) -> dict:
+    """Production-shape IVF check: C=256 build (broadcast-matrix kernel
+    assignment + Lloyd) over the real embeddings table, written
+    partitionBy(bucket) and probed through the partition-pruned path."""
+    import shutil
+    import tempfile
+
+    from linkgraph.pipeline.similarity import ivf_build, ivf_topk_stored, ivf_write
+
+    spark = _session(cpus)
+    path = tempfile.mkdtemp(prefix="ivf_bench_")
+    try:
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        n = emb.count()
+        qvec = [float(x) for x in emb.filter("vec_id = 0").first()["embedding"]]
+        t0 = time.monotonic()
+        assigned, cents = ivf_build(emb, n_centroids=n_centroids, lloyd_iters=2)
+        ivf_write(assigned, path)
+        t_build = time.monotonic() - t0
+        t1 = time.monotonic()
+        top = ivf_topk_stored(spark, path, cents, qvec, k=10, nprobe=8).collect()
+        t_probe = time.monotonic() - t1
+        return {
+            "metric": "ivf_build",
+            "vectors": n,
+            "centroids": n_centroids,
+            "lloyd_iters": 2,
+            "build_write_sec": round(t_build, 3),
+            "probe_nprobe8_sec": round(t_probe, 3),
+            "top1": int(top[0]["vec_id"]) if top else None,
+            "cpus": cpus,
+        }
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+        spark.stop()
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 32))
     sf = sf_dir.rstrip("/").split("sf")[-1]
 
+    if "--ivf-build" in sys.argv:
+        print(json.dumps(ivf_bench(cpus, sf_dir)))
+        return
     if "--dedup-stress" in sys.argv:
         print(json.dumps(dedup_stress(cpus)))
         return

@@ -342,3 +342,41 @@ def test_lsh_num_hashes_skips_probe_materialization(spark):
 
     assert with_rows == probe_rows
     assert n_with < n_probe
+
+
+def test_ivf_assign_kernel_matches_brute_force_and_handles_scale_c(spark):
+    """assign_vectors (broadcast centroid matrix + batch matmul) must
+    agree with exact nearest-centroid math computed in numpy, and must
+    accept a centroid count far beyond what a literal expression array
+    could (C=256 here; the production target is 4k-65k)."""
+    import random
+
+    import numpy as np
+
+    from linkgraph.pipeline.similarity import assign_vectors
+
+    rng = random.Random(7)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(300)]
+    base = spark.createDataFrame(rows, "id long, v array<double>")
+    cents = [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(256)]
+    got = {r["id"]: r["bucket"] for r in assign_vectors(base, cents).collect()}
+
+    cm = np.asarray([c for _, c in cents])
+    cn = np.linalg.norm(cm, axis=1)
+    for i, v in rows:
+        vv = np.asarray(v)
+        cos = (cm @ vv) / (cn * np.linalg.norm(vv))
+        assert got[i] == int(cos.argmax())
+
+
+def test_ann_ivf_driver_entry_uses_pruned_stored_path(spark):
+    """The driver's ann_ivf entry must serve from the partitionBy(bucket)
+    inverted file: its plan carries a non-empty bucket PartitionFilter
+    (VERDICT r2 #3 — the in-memory full-scan probe is not the default)."""
+    import __spark_entry__ as E
+
+    df = E.queries()["ann_ivf"](spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan
+    pf = plan.split("PartitionFilters: [", 1)[1].split("]", 1)[0]
+    assert "bucket" in pf
