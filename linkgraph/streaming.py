@@ -20,20 +20,48 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from linkgraph.corpus import extract_imports, resolve_edges
+from linkgraph.corpus import extract_imports, read_corpus, resolve_edges
 
 CORPUS_SCHEMA = "repo string, path string, commit string, lang string, content string"
 
 EDGE_TABLE = "edges_stream"
 
 
-def stream_corpus(spark: SparkSession, drop_dir: str) -> DataFrame:
-    """File-drop source with the pinned corpus schema (A1, streaming)."""
-    return (
-        spark.readStream.schema(CORPUS_SCHEMA)
-        .option("maxFilesPerTrigger", 8)
-        .parquet(drop_dir)
-    )
+def stream_corpus(spark: SparkSession, drop_dir: str, fmt: str = "parquet") -> DataFrame:
+    """File-drop source with the pinned corpus schema (A1, streaming)
+    for parquet / csv / json(lines) drops — the same interchange
+    formats `read_corpus` accepts in batch, same reader options
+    (multiLine CSV with escaped quotes: `content` is raw source code).
+
+    Files already in the drop dir are run through `read_corpus`'s
+    schema guards at stream START (reordered CSV header / misnamed
+    JSON fields fail loudly before any micro-batch runs). Files
+    dropped later are outside that probe — streaming cannot re-probe
+    per file — so late CSV malformation still fails via FAILFAST, and
+    late JSON field mismatch surfaces as null repo/content rows, which
+    the derivation drops (lang filter + inner join), not corrupts.
+    """
+    if fmt not in ("parquet", "csv", "json", "jsonl"):
+        raise ValueError(f"unsupported corpus stream format {fmt!r}")
+    if fmt != "parquet":
+        from pyspark.errors import AnalysisException
+
+        try:
+            read_corpus(spark, drop_dir, fmt=fmt).limit(1).collect()
+        except AnalysisException:
+            pass  # empty / not-yet-created drop dir: nothing to probe
+    reader = spark.readStream.schema(CORPUS_SCHEMA).option("maxFilesPerTrigger", 8)
+    if fmt == "parquet":
+        return reader.parquet(drop_dir)
+    if fmt == "csv":
+        return (
+            reader.option("header", True)
+            .option("multiLine", True)
+            .option("escape", '"')
+            .option("mode", "FAILFAST")
+            .csv(drop_dir)
+        )
+    return reader.json(drop_dir)
 
 
 def incremental_edges(
