@@ -169,9 +169,12 @@ class IcebergCatalog:
             "snapshot_id string, meta string, seq double",
         )
         ident = self._meta_ident(table)
-        try:
+        # explicit existence check, not try/except-create: a genuine
+        # append failure (schema mismatch, permissions) must surface
+        # as itself, not as a confusing "table already exists"
+        if self.spark.catalog.tableExists(ident):
             row.writeTo(ident).append()
-        except Exception:
+        else:
             row.writeTo(ident).create()
 
     def write_snapshot(self, table: str, df: DataFrame, meta: dict | None = None) -> Snapshot:
@@ -187,9 +190,9 @@ class IcebergCatalog:
 
     def append(self, table: str, df: DataFrame, meta: dict | None = None) -> Snapshot:
         ident = self._ident(table)
-        try:
+        if self.spark.catalog.tableExists(ident):
             df.writeTo(ident).append()
-        except Exception:
+        else:
             df.writeTo(ident).create()
         sid = str(
             self.spark.sql(
@@ -200,23 +203,36 @@ class IcebergCatalog:
         return Snapshot(sid, table, ident, meta or {})
 
     def snapshots(self, table: str) -> list[Snapshot]:
-        """Committed snapshots in commit order, meta from the side
-        table (last meta row per snapshot_id wins — retags append)."""
+        """Committed snapshots in Iceberg commit order, meta joined from
+        the side table (last meta row per snapshot_id wins — retags
+        append). The data commit and the meta append are two
+        non-atomic writes; driving the listing from the DATA table's
+        own `.snapshots` metadata makes a crash between them yield a
+        visible snapshot with empty meta instead of an invisible one
+        (meta-less snapshots simply match no run_id predicate)."""
+        from pyspark.errors import AnalysisException
+
+        ident = self._ident(table)
         try:
-            rows = (
+            committed = [
+                str(r["snapshot_id"])
+                for r in self.spark.sql(
+                    f"SELECT snapshot_id FROM {ident}.snapshots ORDER BY committed_at"
+                ).collect()
+            ]
+        except AnalysisException as e:  # data table missing → no snapshots
+            raise FileNotFoundError(f"no snapshots for table {table}") from e
+        by_sid: dict[str, dict] = {}
+        if self.spark.catalog.tableExists(self._meta_ident(table)):
+            for r in (
                 self.spark.read.table(self._meta_ident(table))
                 .orderBy("seq")
                 .collect()
-            )
-        except Exception as e:  # table missing → no snapshots yet
-            raise FileNotFoundError(f"no snapshots for table {table}") from e
-        by_sid: dict[str, dict] = {}
-        order: list[str] = []
-        for r in rows:
-            if r["snapshot_id"] not in by_sid:
-                order.append(r["snapshot_id"])
-            by_sid[r["snapshot_id"]] = json.loads(r["meta"])
-        return [Snapshot(s, table, self._ident(table), by_sid[s]) for s in order]
+            ):
+                by_sid[str(r["snapshot_id"])] = json.loads(r["meta"])
+        return [
+            Snapshot(s, table, ident, by_sid.get(s, {})) for s in committed
+        ]
 
     def latest(self, table: str, predicate=None) -> Snapshot | None:
         snaps = self.snapshots(table)

@@ -29,12 +29,18 @@ Built-in machinery the spec gets for free:
   callback may return (add_edges, remove_edges) DataFrames; they are
   resolved at the superstep BARRIER (BSP requires every superstep to
   see a consistent graph): the scatter relation is rebuilt, new
-  vertices get `spec.init_state` rows, removed vertices' state is
-  dropped, and the frontier is conservatively reset to the full vertex
-  set (correct for the confluent min/argmax programs; monotone state
-  already propagated over a removed edge is NOT retracted — the
-  paper's compute() semantics, where handling retraction is the
-  program's job).
+  vertices get `spec.init_state` rows, and the frontier is
+  conservatively reset to the full vertex set. Edge removal never
+  deletes a vertex — existing state rows are retained even when a
+  vertex loses all its edges (the paper separates edge and vertex
+  mutation; correct for the confluent min/argmax programs; monotone
+  state already propagated over a removed edge is NOT retracted —
+  the paper's compute() semantics, where handling retraction is the
+  program's job). The callback is ALSO invoked at the barrier where
+  the run converges: a mutation returned there reactivates the run
+  (convergence does not silently skip a scheduled mutation); if the
+  run ends without the callback ever producing a mutation, a warning
+  is emitted.
 
 The one Spark-specific hazard of iterative dataflow is unbounded plan
 growth: superstep S's DataFrame references S-1's, so after ~30
@@ -205,6 +211,7 @@ def pregel_run(
     aggs: dict = resumed_aggs
     step_i = start_step
     converged = False
+    any_mutation = False
     while step_i < max_supersteps and not converged:
         t0 = time.monotonic()
         new_state = spec.step(links, state, frontier, aggs)
@@ -243,24 +250,45 @@ def pregel_run(
         if spec.halt(aggs):
             converged = True
 
-        if mutations is not None and not converged and step_i < max_supersteps:
+        # the callback runs at EVERY barrier, including the one where
+        # the run converges — a mutation scheduled for superstep K must
+        # not be silently skipped because the algorithm settled at K
+        if mutations is not None and step_i < max_supersteps:
             mut = mutations(step_i)
             if mut is not None:
+                any_mutation = True
                 add, remove = mut
                 if add is not None:
                     # preserve ALL edge columns (weights etc.) — added
-                    # edges must carry the same schema
-                    edges = edges.unionByName(add.select(*edges.columns))
+                    # edges must carry the same schema. Re-adding an
+                    # existing (src,dst) replaces the old row
+                    # (last-write-wins); duplicates WITHIN the added
+                    # batch resolve to the lexicographic-min extra
+                    # columns — deterministic, unlike dropDuplicates'
+                    # arbitrary survivor on conflicting weights
+                    add_rows = add.select(*edges.columns)
+                    extras = [c for c in edges.columns if c not in ("src", "dst")]
+                    if extras:
+                        add_rows = (
+                            add_rows.groupBy("src", "dst")
+                            .agg(F.min(F.struct(*extras)).alias("_e"))
+                            .select("src", "dst", "_e.*")
+                        )
+                    else:
+                        add_rows = add_rows.distinct()
+                    edges = edges.join(
+                        add_rows.select("src", "dst"), ["src", "dst"], "left_anti"
+                    ).unionByName(add_rows)
                 if remove is not None:
                     edges = edges.join(
                         remove.select("src", "dst"), ["src", "dst"], "left_anti"
                     )
-                # weight-preserving canonicalization: drop self-loops and
-                # duplicate (src,dst) pairs WITHOUT projecting away extra
-                # edge columns (plain canonicalize would strip weights)
+                # weight-preserving canonicalization: drop self-loops
+                # WITHOUT projecting away extra edge columns (plain
+                # canonicalize would strip weights); (src,dst) is
+                # already unique — conflicts were resolved above
                 edges = truncate_lineage(
                     edges.filter(F.col("src") != F.col("dst"))
-                    .dropDuplicates(["src", "dst"])
                     .repartition(p, "src")
                 )
                 links.unpersist()
@@ -274,9 +302,20 @@ def pregel_run(
                     state.unionByName(spec.init_state(new_ids))
                 )
                 frontier = state  # reactivate everything at the barrier
+                converged = False  # a mutated graph must be re-settled
 
     info.converged = converged
     info.supersteps = step_i
+    if mutations is not None and not any_mutation:
+        import warnings
+
+        warnings.warn(
+            f"pregel_run({spec.algo}): the mutations callback never "
+            f"returned a mutation before the run ended at superstep "
+            f"{step_i} (converged={converged}) — a mutation scheduled "
+            "for a later superstep was not applied",
+            stacklevel=2,
+        )
     links.unpersist()
     if checkpointer is not None:
         checkpointer.finish(

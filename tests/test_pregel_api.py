@@ -209,3 +209,61 @@ def test_redistribute_mode_no_extra_actions_per_superstep(spark, graph_builder):
     r8 = jobs("redistribute", 8, "pr_r8")
     sc.setLocalProperty("spark.jobGroup.id", None)
     assert (r8 - r4) == (d8 - d4)
+
+
+def test_mutation_at_convergence_barrier_reactivates(spark, graph_builder):
+    """ADVICE r2: a mutation returned at the exact barrier where the
+    run converges must be applied and the run reactivated — convergence
+    must not silently beat a scheduled mutation."""
+    g = graph_builder([(0, 1)])
+    _, base_info = connected_components(g)
+    assert base_info.converged
+    k = base_info.supersteps  # the convergence barrier
+    bridge = spark.createDataFrame([(1, 5)], "src long, dst long")
+    fired = []
+
+    def mutations(s):
+        if s == k and not fired:
+            fired.append(s)
+            return (bridge, None)
+        return None
+
+    state, info = connected_components(g, mutations=mutations)
+    got = {r["id"]: r["comp"] for r in state.collect()}
+    assert fired == [k]  # the callback DID run at the converged barrier
+    assert got == {0: 0, 1: 0, 5: 0}  # the bridge was applied
+    assert info.converged and info.supersteps > k
+
+
+def test_mutation_never_applied_warns(spark, graph_builder):
+    """A run that ends without the mutations callback ever producing a
+    mutation (e.g. one scheduled past convergence) must warn."""
+    import warnings as W
+
+    g = graph_builder([(0, 1)])
+    with W.catch_warnings(record=True) as caught:
+        W.simplefilter("always")
+        _, info = connected_components(g, mutations=lambda s: None)
+    assert info.converged
+    assert any("never returned a mutation" in str(w.message) for w in caught)
+
+
+def test_mutation_readd_edge_replaces_weight_deterministically(spark):
+    """ADVICE r2: re-adding an existing (src,dst) with a new weight must
+    deterministically replace the old row (last-write-wins), not leave
+    whichever survivor dropDuplicates happened to keep."""
+    from linkgraph.graph import Graph
+    from linkgraph.algorithms import sssp as _sssp
+
+    edf = spark.createDataFrame(
+        [(0, 1, 5.0), (1, 2, 1.0)], "src long, dst long, w double"
+    )
+    verts = spark.createDataFrame([(0,), (1,), (2,)], "id long")
+    g = Graph(edges=edf, vertices=verts, num_vertices=3, num_edges=2)
+    upd = spark.createDataFrame([(0, 1, 1.0)], "src long, dst long, w double")
+    state, _ = _sssp(
+        g, source=0, weight_col="w",
+        mutations=lambda s: (upd, None) if s == 1 else None,
+    )
+    got = {r["id"]: r["dist"] for r in state.collect()}
+    assert got[1] == 1.0 and got[2] == 2.0

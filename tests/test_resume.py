@@ -11,8 +11,19 @@ from linkgraph.checkpoint import CheckpointManager
 from linkgraph import fixtures as FX
 
 
-@pytest.fixture()
-def catalog(spark, tmp_path):
+@pytest.fixture(params=["parquet", "iceberg"])
+def catalog(spark, tmp_path, request):
+    """Contract fixture: every checkpoint/resume test runs against BOTH
+    catalog providers, so the IcebergCatalog interface cannot drift
+    even though this sandbox has no Iceberg runtime (those params
+    collect as skips here and execute wherever the runtime jar is on
+    the classpath)."""
+    if request.param == "iceberg":
+        from linkgraph.catalog import IcebergCatalog, iceberg_available
+
+        if not iceberg_available(spark):
+            pytest.skip("iceberg-spark-runtime not on the classpath")
+        return IcebergCatalog(spark, "iceberg_test")
     return ParquetManifestCatalog(spark, str(tmp_path / "warehouse"))
 
 
