@@ -1,4 +1,4 @@
-from linkgraph.algorithms.pagerank import pagerank
+from linkgraph.algorithms.pagerank import pagerank, personalized_pagerank
 from linkgraph.algorithms.components import connected_components
 from linkgraph.algorithms.lpa import label_propagation
 from linkgraph.algorithms.triangles import triangle_counts
@@ -6,6 +6,7 @@ from linkgraph.algorithms.sssp import sssp
 
 __all__ = [
     "pagerank",
+    "personalized_pagerank",
     "connected_components",
     "label_propagation",
     "triangle_counts",

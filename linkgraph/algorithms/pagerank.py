@@ -202,3 +202,80 @@ def pagerank(
     if dangling_ids is not None:
         dangling_ids.unpersist()
     return state.select("id", "rank"), info
+
+
+def personalized_pagerank(
+    graph: Graph,
+    source_ids,
+    d: float = 0.85,
+    tol: float = 1e-6,
+    max_supersteps: int = 100,
+) -> tuple[DataFrame, RunInfo]:
+    """Personalized PageRank: teleport mass returns to `source_ids`
+    (uniformly over the set) instead of to every vertex —
+    r(v) = (1-d)·pref(v) + d·Σ msgs, pref = 1/|S| on S, else 0;
+    init r = pref; dangling vertices drop their mass (the paper's
+    program, same as pagerank(dangling="drop")).
+
+    A ~20-line PregelSpec over the same generic driver — the static
+    preference vector rides the carried marker rows exactly like
+    redistribute-mode's is_dangling flag, so the superstep stays ONE
+    fused shuffle + one barrier action.
+    """
+    sources = [int(s) for s in source_ids]
+    if not sources:
+        raise ValueError("personalized_pagerank needs a non-empty source set")
+    spark = graph.edges.sparkSession
+    pref0 = 1.0 / len(sources)
+    src_df = spark.createDataFrame([(s,) for s in sources], "id long")
+
+    def init_state(verts):
+        flag = src_df.select("id", F.lit(pref0).alias("pref"))
+        return (
+            verts.join(flag, "id", "left")
+            .withColumn("pref", F.coalesce(F.col("pref"), F.lit(0.0)))
+            .select("id", F.col("pref").alias("rank"), "pref")
+        )
+
+    def prepare_links(edges):
+        deg = out_degrees(edges).withColumnRenamed("id", "src")
+        return edges.join(deg, "src").select("src", "dst", "outdeg")
+
+    def step(links, state, frontier, aggs):
+        contribs = (
+            links.join(state.withColumnRenamed("id", "src"), "src")
+            .select("dst", (F.col("rank") / F.col("outdeg")).alias("contrib"))
+            .withColumn("old", F.lit(0.0))
+            .withColumn("pref_m", F.lit(0.0))
+        )
+        carried = state.select(
+            F.col("id").alias("dst"),
+            F.lit(0.0).alias("contrib"),
+            F.col("rank").alias("old"),
+            F.col("pref").alias("pref_m"),
+        )
+        return (
+            contribs.unionByName(carried)
+            .groupBy(F.col("dst").alias("id"))
+            .agg(
+                (
+                    F.lit(1.0 - d) * F.max("pref_m")
+                    + F.lit(d) * F.sum("contrib")
+                ).alias("rank"),
+                F.max("pref_m").alias("pref"),
+                F.sum("old").alias("rank_old"),
+            )
+        )
+
+    spec = PregelSpec(
+        algo="ppr",
+        state_cols=("rank", "pref"),
+        init_state=init_state,
+        prepare_links=prepare_links,
+        step=step,
+        metrics={"delta": F.sum(F.abs(F.col("rank") - F.col("rank_old")))},
+        halt=lambda a: a.get("delta") is not None and float(a["delta"]) < tol,
+        frontier_filter=None,
+    )
+    state, info = pregel_run(graph, spec, max_supersteps=max_supersteps)
+    return state.select("id", "rank"), info

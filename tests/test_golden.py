@@ -152,3 +152,37 @@ def test_clustering_coefficient_matches_networkx(graph_builder):
     assert set(got) == set(want)
     for v in want:
         assert abs(got[v] - want[v]) < 1e-12, v
+
+
+def test_personalized_pagerank_matches_numpy(graph_builder):
+    """PPR (teleport to a source set, dangling mass dropped) vs a NumPy
+    power iteration on a directed graph WITH a dangling vertex, so the
+    drop semantics are exercised; also checks locality: mass
+    concentrates near the sources, and a vertex unreachable from them
+    (with zero preference) scores 0."""
+    from linkgraph.algorithms import personalized_pagerank
+
+    # 0→1→2→0 cycle, 1→3 (3 dangling), 4→0 (4 unreachable from {0,1})
+    edges = [(0, 1), (1, 2), (2, 0), (1, 3), (4, 0)]
+    g = graph_builder(edges)
+    state, info = personalized_pagerank(g, [0, 1], d=0.85, tol=1e-12)
+    assert info.converged
+    got = {r["id"]: r["rank"] for r in state.collect()}
+    r = np.array([got[i] for i in range(5)])
+
+    n, d = 5, 0.85
+    p = np.zeros(n)
+    p[[0, 1]] = 0.5
+    M = np.zeros((n, n))  # column-stochastic; dangling column stays 0
+    outdeg = {0: 1, 1: 2, 2: 1, 4: 1}
+    for s, t in edges:
+        M[t, s] = 1.0 / outdeg[s]
+    want = p.copy()
+    for _ in range(10000):
+        nxt = (1 - d) * p + d * (M @ want)
+        if np.abs(nxt - want).sum() < 1e-15:
+            break
+        want = nxt
+    assert np.allclose(r, want, atol=1e-10)
+    assert got[4] == 0.0  # no preference, unreachable from sources
+    assert got[0] + got[1] > got[2] + got[3]  # mass stays near sources
