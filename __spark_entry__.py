@@ -727,6 +727,24 @@ def q_jaccard_verified_pairs(spark, sf_dir):  # pipeline: exact verify stage
     )
 
 
+_IVF_ENTRY_DIRS: dict = {}
+
+
+def _ivf_entry_dir(sf_dir: str) -> str:
+    """One reusable inverted-file dir per sf_dir for this process
+    (ivf_write overwrites), removed at exit — repeated harness runs
+    must not accumulate full embedding-table copies under /tmp."""
+    import atexit
+    import shutil
+    import tempfile
+
+    if sf_dir not in _IVF_ENTRY_DIRS:
+        d = tempfile.mkdtemp(prefix="ivf_entry_")
+        _IVF_ENTRY_DIRS[sf_dir] = d
+        atexit.register(shutil.rmtree, d, ignore_errors=True)
+    return _IVF_ENTRY_DIRS[sf_dir]
+
+
 def q_ann_ivf(spark, sf_dir):  # pipeline: IVF-bucketed approximate NN
     # THE production path end-to-end: build → ivf_write (partitionBy
     # bucket) → ivf_topk_stored, whose bucket filter prunes at the file
@@ -735,15 +753,13 @@ def q_ann_ivf(spark, sf_dir):  # pipeline: IVF-bucketed approximate NN
     # ordering, bucket union) at recall 1.0 — so the result must EQUAL
     # exact brute-force top-k, giving the path a real oracle (the
     # knn_cosine SQL). nprobe < C recall is covered by tests.
-    import tempfile
-
     from linkgraph.pipeline.similarity import ivf_build, ivf_topk_stored, ivf_write
 
     emb = _t(spark, sf_dir, "embeddings")
     n_vecs = emb.count()
     qvec = [float(x) for x in emb.filter("vec_id = 0").first()["embedding"]]
     assigned, cents = ivf_build(emb, n_centroids=8, lloyd_iters=1)
-    path = tempfile.mkdtemp(prefix="ivf_entry_")
+    path = _ivf_entry_dir(sf_dir)
     ivf_write(assigned, path)
     # round BEFORE ordering/cutting (like the oracle and q_knn_cosine):
     # cutting on unrounded cosine could pick a different top-10 set

@@ -222,12 +222,21 @@ def personalized_pagerank(
     redistribute-mode's is_dangling flag, so the superstep stays ONE
     fused shuffle + one barrier action.
     """
-    sources = [int(s) for s in source_ids]
+    # set semantics: duplicates collapse; every source must exist in the
+    # graph — silently dropping an unknown id would shrink the teleport
+    # mass and deflate every rank with no signal
+    sources = sorted({int(s) for s in source_ids})
     if not sources:
         raise ValueError("personalized_pagerank needs a non-empty source set")
     spark = graph.edges.sparkSession
     pref0 = 1.0 / len(sources)
     src_df = spark.createDataFrame([(s,) for s in sources], "id long")
+    matched = src_df.join(graph.vertices, "id", "left_semi").count()
+    if matched != len(sources):
+        raise ValueError(
+            f"personalized_pagerank: {len(sources) - matched} source id(s) "
+            "not present in the graph"
+        )
 
     def init_state(verts):
         flag = src_df.select("id", F.lit(pref0).alias("pref"))

@@ -215,23 +215,31 @@ class IcebergCatalog:
         ident = self._ident(table)
         try:
             committed = [
-                str(r["snapshot_id"])
+                (r["committed_at"], str(r["snapshot_id"]))
                 for r in self.spark.sql(
-                    f"SELECT snapshot_id FROM {ident}.snapshots ORDER BY committed_at"
+                    f"SELECT committed_at, snapshot_id FROM {ident}.snapshots"
                 ).collect()
             ]
         except AnalysisException as e:  # data table missing → no snapshots
             raise FileNotFoundError(f"no snapshots for table {table}") from e
         by_sid: dict[str, dict] = {}
+        seq_of: dict[str, float] = {}
         if self.spark.catalog.tableExists(self._meta_ident(table)):
             for r in (
                 self.spark.read.table(self._meta_ident(table))
                 .orderBy("seq")
                 .collect()
             ):
-                by_sid[str(r["snapshot_id"])] = json.loads(r["meta"])
+                sid = str(r["snapshot_id"])
+                by_sid[sid] = json.loads(r["meta"])
+                seq_of.setdefault(sid, float(r["seq"]))  # first append wins
+        # committed_at has millisecond resolution — two fast commits can
+        # tie, and latest()/update_latest_meta must not pick arbitrarily.
+        # The meta seq (driver-monotonic) breaks ties for engine-written
+        # snapshots; snapshot_id last for full determinism.
+        committed.sort(key=lambda ts: (ts[0], seq_of.get(ts[1], float("inf")), ts[1]))
         return [
-            Snapshot(s, table, ident, by_sid.get(s, {})) for s in committed
+            Snapshot(s, table, ident, by_sid.get(s, {})) for _, s in committed
         ]
 
     def latest(self, table: str, predicate=None) -> Snapshot | None:

@@ -74,6 +74,9 @@ def read_corpus(spark, path: str, fmt: str = "parquet") -> DataFrame:
             path,
             schema=CORPUS_SCHEMA,
             header=True,
+            enforceSchema=False,  # EVERY file's header checked at read
+            # time — the probe above validates one file; a multi-file
+            # drop with one reordered straggler must also fail loudly
             multiLine=True,
             escape='"',
             mode="FAILFAST",  # malformed rows error, never null-filled

@@ -154,29 +154,40 @@ def lsh_candidate_pairs(
             "collide in every bucket)"
         )
     rows_per_band = sig_len // bands
-    banded = signatures.select(
-        "id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        hash64(
-                            F.concat_ws(
-                                ",",
-                                *[
-                                    F.element_at("sig", b * rows_per_band + r + 1)
-                                    for r in range(rows_per_band)
-                                ],
-                            ),
-                            mode=hash_mode,
-                        ).alias("bh"),
-                    )
-                    for b in range(bands)
-                ]
+    band_arr = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                hash64(
+                    F.concat_ws(
+                        ",",
+                        *[
+                            F.element_at("sig", b * rows_per_band + r + 1)
+                            for r in range(rows_per_band)
+                        ],
+                    ),
+                    mode=hash_mode,
+                ).alias("bh"),
             )
-        ).alias("bb"),
-    ).select("id", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
+            for b in range(bands)
+        ]
+    )
+    # plan-embedded guard: a caller-declared num_hashes that disagrees
+    # with the real signature length would silently band over a PREFIX
+    # (understated) or fail as an opaque array-index error (overstated).
+    # The check rides the same projection — no extra job.
+    band_arr = F.when(F.size("sig") == sig_len, band_arr).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit("lsh_candidate_pairs: signature length "),
+                F.size("sig").cast("string"),
+                F.lit(f" != declared num_hashes={sig_len}"),
+            )
+        )
+    )
+    banded = signatures.select("id", F.explode(band_arr).alias("bb")).select(
+        "id", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh")
+    )
     # Materialize the banded table ONCE: it is read 2× by the pair
     # self-join (3× with the cap's bucket-size count) and each read
     # would otherwise replay the whole shingle-explode + H-hash +

@@ -96,7 +96,7 @@ def ivf_build(
         )
     ]
 
-    assigned = assign_vectors(base, cents)
+    assigned, bc = _assign_vectors(base, cents)
     for _ in range(lloyd_iters):
         dims = assigned.select(
             "bucket", F.posexplode("v").alias("dim", "x")
@@ -117,7 +117,12 @@ def ivf_build(
         # otherwise labels shift after an empty bucket and assignment /
         # nprobe filters refer to the wrong centroids.
         cents = [(i, by_bucket.get(i, c)) for i, (_, c) in enumerate(cents)]
-        assigned = assign_vectors(base, cents)
+        # the means.collect() above was the LAST evaluation of the old
+        # assignment — destroy its centroid broadcast now so a build
+        # keeps at most one live C×D copy, not lloyd_iters+1 (at 65k×1k
+        # dims each dead copy pins ~0.5 GB of executor storage)
+        bc.destroy()
+        assigned, bc = _assign_vectors(base, cents)
     return assigned, cents
 
 
@@ -133,7 +138,18 @@ def assign_vectors(cdf: DataFrame, centroids) -> DataFrame:
     assignment is a map-only stage, so Catalyst analysis cost is
     O(1) in C instead of the O(C) expression tree a literal centroid
     array would build.
+
+    The broadcast lives as long as the returned DataFrame may be
+    re-evaluated; long-lived sessions doing many builds rely on
+    ivf_build destroying its intermediate Lloyd broadcasts (it does).
     """
+    df, _ = _assign_vectors(cdf, centroids)
+    return df
+
+
+def _assign_vectors(cdf: DataFrame, centroids):
+    """assign_vectors + a handle on the centroid broadcast so callers
+    that fully consume the result can destroy it."""
     import numpy as np
 
     cmat = np.asarray([c for _, c in centroids], dtype=np.float64)
@@ -157,7 +173,7 @@ def assign_vectors(cdf: DataFrame, centroids) -> DataFrame:
             out["bucket"] = cos.argmax(axis=1).astype("int32")
             yield out
 
-    return cdf.mapInPandas(kern, schema="id long, v array<double>, bucket int")
+    return cdf.mapInPandas(kern, schema="id long, v array<double>, bucket int"), bc
 
 
 def probe_buckets(centroids, query_vec: list[float], nprobe: int) -> list[int]:

@@ -253,8 +253,22 @@ def pregel_run(
         # the callback runs at EVERY barrier, including the one where
         # the run converges — a mutation scheduled for superstep K must
         # not be silently skipped because the algorithm settled at K
-        if mutations is not None and step_i < max_supersteps:
+        if mutations is not None:
             mut = mutations(step_i)
+            if mut is not None and step_i >= max_supersteps:
+                # terminal barrier: no superstep remains to observe the
+                # mutated graph — applying it would return state labeled
+                # converged=False for a graph it never ran on
+                import warnings
+
+                warnings.warn(
+                    f"pregel_run({spec.algo}): mutation returned at the "
+                    f"max_supersteps barrier ({step_i}) cannot be "
+                    "applied — no superstep remains; raise "
+                    "max_supersteps",
+                    stacklevel=2,
+                )
+                mut = None
             if mut is not None:
                 any_mutation = True
                 add, remove = mut

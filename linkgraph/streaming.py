@@ -36,10 +36,13 @@ def stream_corpus(spark: SparkSession, drop_dir: str, fmt: str = "parquet") -> D
     Files already in the drop dir are run through `read_corpus`'s
     schema guards at stream START (reordered CSV header / misnamed
     JSON fields fail loudly before any micro-batch runs). Files
-    dropped later are outside that probe — streaming cannot re-probe
-    per file — so late CSV malformation still fails via FAILFAST, and
-    late JSON field mismatch surfaces as null repo/content rows, which
-    the derivation drops (lang filter + inner join), not corrupts.
+    dropped later are guarded per file for CSV via
+    `enforceSchema=false` (Spark validates each file's header against
+    the schema field names at read time — a late reordered header
+    fails its micro-batch instead of silently binding by position) and
+    FAILFAST for malformed rows; late JSON field mismatch surfaces as
+    null repo/content rows, which the derivation drops (lang filter +
+    inner join), not corrupts.
     """
     if fmt not in ("parquet", "csv", "json", "jsonl"):
         raise ValueError(f"unsupported corpus stream format {fmt!r}")
@@ -56,6 +59,7 @@ def stream_corpus(spark: SparkSession, drop_dir: str, fmt: str = "parquet") -> D
     if fmt == "csv":
         return (
             reader.option("header", True)
+            .option("enforceSchema", False)  # per-file header validation
             .option("multiLine", True)
             .option("escape", '"')
             .option("mode", "FAILFAST")

@@ -128,3 +128,25 @@ def test_read_corpus_formats_roundtrip(spark, tmp_path):
     for fmt, path in paths.items():
         got = edge_set(read_corpus(spark, path, fmt=fmt))
         assert got == want, f"{fmt} roundtrip changed the derived edges"
+
+
+def test_csv_straggler_with_reordered_header_fails(spark, tmp_path):
+    """Review fix (enforceSchema=false): the start-time probe validates
+    ONE file's header; a multi-file drop whose OTHER file has a
+    reordered header must still fail at read time, never bind
+    positionally."""
+    import pytest
+
+    d = tmp_path / "mixed"
+    d.mkdir()
+    good = "repo,path,commit,lang,content\norg1,a.py,c1,python,import x\n"
+    bad = "path,repo,commit,lang,content\nb.py,org2,c2,python,import y\n"
+    (d / "part-0.csv").write_text(good)
+    (d / "part-1.csv").write_text(bad)
+    from linkgraph.corpus import read_corpus
+
+    with pytest.raises(Exception) as ei:
+        read_corpus(spark, str(d), fmt="csv").collect()
+    # either the one-file probe catches it (ValueError) or the per-file
+    # header validation does (Spark CSV header mismatch) — never silent
+    assert "pinned column order" in str(ei.value) or "header" in str(ei.value).lower()

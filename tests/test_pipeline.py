@@ -380,3 +380,33 @@ def test_ann_ivf_driver_entry_uses_pruned_stored_path(spark):
     assert "PartitionFilters: [" in plan
     pf = plan.split("PartitionFilters: [", 1)[1].split("]", 1)[0]
     assert "bucket" in pf
+
+
+def test_lsh_num_hashes_mismatch_fails_loudly(spark):
+    """A declared num_hashes that disagrees with the real signature
+    length must raise (review fix): understated would silently band
+    over a prefix and change the candidate set."""
+    import pytest
+    from pyspark.errors import SparkRuntimeException
+
+    df = docs_df(spark)
+    sig = minhash_signatures(shingles(df, k=4), num_hashes=32)
+    with pytest.raises(SparkRuntimeException, match="num_hashes"):
+        lsh_candidate_pairs(sig, bands=8, num_hashes=16).count()
+
+
+def test_ppr_source_validation(spark, graph_builder):
+    """Review fix: duplicate sources collapse (set semantics) and
+    unknown sources raise instead of silently deflating every rank."""
+    import pytest
+
+    from linkgraph.algorithms import personalized_pagerank
+
+    g = graph_builder([(0, 1), (1, 2), (2, 0)])
+    a, _ = personalized_pagerank(g, [0, 1], tol=1e-10)
+    b, _ = personalized_pagerank(g, [0, 0, 1, 1], tol=1e-10)
+    ra = {r["id"]: r["rank"] for r in a.collect()}
+    rb = {r["id"]: r["rank"] for r in b.collect()}
+    assert all(abs(ra[i] - rb[i]) < 1e-12 for i in ra)
+    with pytest.raises(ValueError, match="not present"):
+        personalized_pagerank(g, [0, 99])

@@ -267,3 +267,22 @@ def test_mutation_readd_edge_replaces_weight_deterministically(spark):
     )
     got = {r["id"]: r["dist"] for r in state.collect()}
     assert got[1] == 1.0 and got[2] == 2.0
+
+
+def test_mutation_at_max_supersteps_barrier_warns_not_applied(spark, graph_builder):
+    """Review fix: a mutation returned at the terminal max_supersteps
+    barrier cannot run (no superstep remains) — it must warn instead of
+    being silently dropped or half-applied."""
+    import warnings as W
+
+    g = graph_builder([(0, 1)])
+    bridge = spark.createDataFrame([(1, 7)], "src long, dst long")
+    with W.catch_warnings(record=True) as caught:
+        W.simplefilter("always")
+        state, info = connected_components(
+            g, max_supersteps=2, mutations=lambda s: (bridge, None) if s == 2 else None
+        )
+    assert info.supersteps == 2
+    got = {r["id"] for r in state.collect()}
+    assert 7 not in got  # not half-applied
+    assert any("cannot be applied" in str(w.message) for w in caught)
