@@ -470,6 +470,41 @@ def _pagerank_oracle_sql(k: int, limit: int = 50, dangling: str = "drop") -> str
     return "".join(parts)
 
 
+def _ppr_oracle_sql(k: int, limit: int = 50, nsrc: int = 2) -> str:
+    """K supersteps of personalized PageRank as chained CTEs: the
+    teleport set is the nsrc smallest vertex ids (expressible
+    identically in both engines), pref = 1/nsrc on the set else 0,
+    s0 = pref, s_i = (1-d)·pref + d·Σ in-edges s_{i-1}/outdeg
+    (dangling mass dropped) — matching
+    algorithms/pagerank.personalized_pagerank superstep-for-superstep."""
+    parts = [
+        f"WITH e AS MATERIALIZED ({_COPURCHASE_SQL}), ",
+        "v AS MATERIALIZED (SELECT src AS id FROM e UNION SELECT dst FROM e), ",
+        "deg AS MATERIALIZED (SELECT src, count(*) AS outdeg FROM e GROUP BY src), ",
+        "led AS MATERIALIZED (SELECT e.src, e.dst, d.outdeg FROM e "
+        "JOIN deg d ON e.src = d.src), ",
+        f"srcs AS MATERIALIZED (SELECT id FROM v ORDER BY id LIMIT {nsrc}), ",
+        "pref AS MATERIALIZED (SELECT v.id, CASE WHEN v.id IN "
+        f"(SELECT id FROM srcs) THEN CAST(1 AS DOUBLE) / {nsrc} "
+        "ELSE CAST(0 AS DOUBLE) END AS p FROM v), ",
+        "s0 AS MATERIALIZED (SELECT id, p AS pr FROM pref)",
+    ]
+    for i in range(1, k + 1):
+        parts.append(
+            f", m{i} AS (SELECT l.dst AS id, sum(s.pr / l.outdeg) AS c "
+            f"FROM led l JOIN s{i - 1} s ON l.src = s.id GROUP BY l.dst)"
+            f", s{i} AS MATERIALIZED (SELECT p.id, "
+            "(CAST(1 AS DOUBLE) - CAST(0.85 AS DOUBLE)) * p.p "
+            f"+ CAST(0.85 AS DOUBLE) * coalesce(m.c, CAST(0 AS DOUBLE)) AS pr "
+            f"FROM pref p LEFT JOIN m{i} m ON p.id = m.id)"
+        )
+    parts.append(
+        f" SELECT id, round(pr, 6) AS pr FROM s{k} "
+        f"ORDER BY pr DESC, id ASC LIMIT {limit}"
+    )
+    return "".join(parts)
+
+
 def _lpa_oracle_sql(iters: int) -> str:
     """K sync-LPA iterations as chained CTEs (argmax = row_number over
     (cnt DESC, label ASC) — the engine's pinned tie-break, §A.3).
@@ -666,6 +701,22 @@ def q_pagerank_csr_kernel(spark, sf_dir):  # C1 via CSR gather-scatter kernel
     )
 
 
+def q_ppr_copurchase(spark, sf_dir):  # C6: personalized PageRank, fixed PR_K
+    # teleport set = the two smallest vertex ids (chosen so the SQL
+    # twin can name the same set without hardcoding SF-specific ids)
+    from linkgraph.algorithms import personalized_pagerank
+    from linkgraph.graph import Graph
+
+    g = Graph.prepare(_copurchase_edges(spark, sf_dir))
+    srcs = [int(r["id"]) for r in g.vertices.orderBy("id").limit(2).collect()]
+    state, _ = personalized_pagerank(g, srcs, tol=0.0, max_supersteps=PR_K)
+    return (
+        state.select("id", F.round("rank", 6).alias("pr"))
+        .orderBy(F.desc("pr"), F.asc("id"))
+        .limit(50)
+    )
+
+
 def q_lpa_copurchase(spark, sf_dir):  # C3 sync LPA, fixed LPA_K iters
     from linkgraph.algorithms import label_propagation
     from linkgraph.graph import Graph
@@ -816,6 +867,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank_redistribute": q_pagerank_redistribute,
         "pagerank_hot_broadcast": q_pagerank_hot_broadcast,
         "pagerank_csr_kernel": q_pagerank_csr_kernel,
+        "ppr_copurchase": q_ppr_copurchase,
         "lpa_copurchase": q_lpa_copurchase,
         "minhash_lsh_candidates": q_minhash_lsh_candidates,
         "near_dup_pipeline": q_near_dup_pipeline,
@@ -1041,6 +1093,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "pagerank_copurchase": _pagerank_oracle_sql(PR_K),
         "pagerank_redistribute": _pagerank_oracle_sql(PR_K, dangling="redistribute"),
+        "ppr_copurchase": _ppr_oracle_sql(PR_K),
         "pagerank_hot_broadcast": _pagerank_oracle_sql(PR_K),
         "pagerank_csr_kernel": _pagerank_oracle_sql(PR_K),
         "lpa_copurchase": _lpa_oracle_sql(LPA_K),

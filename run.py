@@ -40,7 +40,7 @@ def make_zip(path: str) -> None:
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--make-zip")
-    ap.add_argument("--algo", choices=["pagerank", "components", "lpa", "triangles", "sssp"])
+    ap.add_argument("--algo", choices=["pagerank", "ppr", "components", "lpa", "triangles", "sssp"])
     ap.add_argument("--corpus", help="corpus table: parquet dir (or synth:R,F)")
     ap.add_argument("--corpus-format", default="parquet",
                     choices=["parquet", "csv", "json"],
@@ -62,6 +62,8 @@ def main() -> None:
     ap.add_argument("--max-supersteps", type=int, default=100)
     ap.add_argument("--dangling", default="drop", choices=["drop", "redistribute"])
     ap.add_argument("--source", type=int, default=0, help="sssp source vertex")
+    ap.add_argument("--sources", default=None,
+                    help="ppr teleport set: comma-separated vertex ids")
     args = ap.parse_args()
 
     if args.make_zip:
@@ -124,6 +126,15 @@ def main() -> None:
         state, info = pagerank(
             g, tol=args.tol, max_supersteps=args.max_supersteps,
             dangling=args.dangling, checkpointer=ck,
+        )
+    elif args.algo == "ppr":
+        from linkgraph.algorithms import personalized_pagerank
+
+        if not args.sources:
+            ap.error("--algo ppr requires --sources id[,id...]")
+        state, info = personalized_pagerank(
+            g, [int(x) for x in args.sources.split(",")],
+            tol=args.tol, max_supersteps=args.max_supersteps,
         )
     elif args.algo == "components":
         from linkgraph.algorithms import connected_components
