@@ -420,6 +420,8 @@ def q_knn_cosine(spark, sf_dir):  # pipeline: brute-force cosine top-k
 
 PR_K = 12  # supersteps unrolled in the PageRank driver oracle
 LPA_K = 5  # iterations unrolled in the LPA driver oracle
+MATCH_K = 12  # matching rounds unrolled in the oracle (engine converges
+#              earlier; post-fixpoint rounds are no-ops on both sides)
 
 
 def _pagerank_oracle_sql(k: int, limit: int = 50, dangling: str = "drop") -> str:
@@ -501,6 +503,33 @@ def _ppr_oracle_sql(k: int, limit: int = 50, nsrc: int = 2) -> str:
     parts.append(
         f" SELECT id, round(pr, 6) AS pr FROM s{k} "
         f"ORDER BY pr DESC, id ASC LIMIT {limit}"
+    )
+    return "".join(parts)
+
+
+def _matching_oracle_sql(rounds: int) -> str:
+    """K rounds of deterministic maximal bipartite matching
+    (algorithms/matching.py): requests between unmatched endpoints →
+    each right grants min(src) → each left accepts min(dst) → pairs
+    accumulate. Integer-exact; rounds past the fixpoint are no-ops, so
+    any K ≥ the convergence round matches the converged engine result."""
+    parts = [
+        f"WITH e AS MATERIALIZED ({_COPURCHASE_SQL}), ",
+        "p0 AS (SELECT src, dst FROM e WHERE false)",
+    ]
+    for i in range(1, rounds + 1):
+        parts.append(
+            f", q{i} AS (SELECT e.src, e.dst FROM e "
+            f"ANTI JOIN p{i - 1} pl ON e.src = pl.src "
+            f"ANTI JOIN p{i - 1} pr ON e.dst = pr.dst)"
+            f", g{i} AS (SELECT dst, min(src) AS src FROM q{i} GROUP BY dst)"
+            f", a{i} AS (SELECT src, min(dst) AS dst FROM g{i} GROUP BY src)"
+            f", p{i} AS MATERIALIZED (SELECT src, dst FROM p{i - 1} "
+            f"UNION ALL SELECT src, dst FROM a{i})"
+        )
+    parts.append(
+        f" SELECT src AS left_id, dst AS right_id FROM p{rounds} "
+        "ORDER BY left_id"
     )
     return "".join(parts)
 
@@ -717,6 +746,26 @@ def q_ppr_copurchase(spark, sf_dir):  # C6: personalized PageRank, fixed PR_K
     )
 
 
+def q_bipartite_matching(spark, sf_dir):  # paper §5.3 example program
+    # customers→suppliers is bipartite with disjoint dense id ranges;
+    # the engine's min-id deterministic matching is integer-exactly
+    # reproducible by the unrolled SQL rounds (fixpoint rounds no-op)
+    from linkgraph.algorithms import bipartite_matching
+    from linkgraph.graph import Graph
+
+    edges = _copurchase_edges(spark, sf_dir)
+    verts = (
+        edges.selectExpr("src AS id").union(edges.selectExpr("dst")).distinct()
+    )
+    g = Graph(edges=edges, vertices=verts, num_vertices=0, num_edges=0)
+    state, _ = bipartite_matching(g, max_supersteps=MATCH_K)
+    return (
+        state.filter("side = 0 AND match IS NOT NULL")
+        .select(F.col("id").alias("left_id"), F.col("match").alias("right_id"))
+        .orderBy("left_id")
+    )
+
+
 def q_lpa_copurchase(spark, sf_dir):  # C3 sync LPA, fixed LPA_K iters
     from linkgraph.algorithms import label_propagation
     from linkgraph.graph import Graph
@@ -868,6 +917,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank_hot_broadcast": q_pagerank_hot_broadcast,
         "pagerank_csr_kernel": q_pagerank_csr_kernel,
         "ppr_copurchase": q_ppr_copurchase,
+        "bipartite_matching": q_bipartite_matching,
         "lpa_copurchase": q_lpa_copurchase,
         "minhash_lsh_candidates": q_minhash_lsh_candidates,
         "near_dup_pipeline": q_near_dup_pipeline,
@@ -1094,6 +1144,7 @@ def oracle_sql() -> dict[str, str]:
         "pagerank_copurchase": _pagerank_oracle_sql(PR_K),
         "pagerank_redistribute": _pagerank_oracle_sql(PR_K, dangling="redistribute"),
         "ppr_copurchase": _ppr_oracle_sql(PR_K),
+        "bipartite_matching": _matching_oracle_sql(MATCH_K),
         "pagerank_hot_broadcast": _pagerank_oracle_sql(PR_K),
         "pagerank_csr_kernel": _pagerank_oracle_sql(PR_K),
         "lpa_copurchase": _lpa_oracle_sql(LPA_K),

@@ -3,10 +3,12 @@ from linkgraph.algorithms.components import connected_components
 from linkgraph.algorithms.lpa import label_propagation
 from linkgraph.algorithms.triangles import triangle_counts
 from linkgraph.algorithms.sssp import sssp
+from linkgraph.algorithms.matching import bipartite_matching
 
 __all__ = [
     "pagerank",
     "personalized_pagerank",
+    "bipartite_matching",
     "connected_components",
     "label_propagation",
     "triangle_counts",

@@ -186,3 +186,60 @@ def test_personalized_pagerank_matches_numpy(graph_builder):
     assert np.allclose(r, want, atol=1e-10)
     assert got[4] == 0.0  # no preference, unreachable from sources
     assert got[0] + got[1] > got[2] + got[3]  # mass stays near sources
+
+
+def test_bipartite_matching_is_valid_maximal_and_deterministic(spark, graph_builder):
+    """Paper §5.3 as a spec: the result must be (a) a valid matching —
+    mutual partners along real edges, each vertex used once; (b)
+    MAXIMAL — no edge is left with both endpoints unmatched; (c)
+    deterministic across runs (min-id choices replace the paper's
+    randomness). Seeded random bipartite graphs + the star worst case."""
+    import random
+
+    from linkgraph.algorithms import bipartite_matching
+    from linkgraph.graph import Graph
+
+    def check(edges):
+        edf = spark.createDataFrame(edges, "src long, dst long")
+        g = Graph(
+            edges=edf,
+            vertices=edf.selectExpr("src AS id").union(edf.selectExpr("dst")).distinct(),
+            num_vertices=0,
+            num_edges=len(edges),
+        )
+        state, info = bipartite_matching(g)
+        rows = {r["id"]: (r["side"], r["match"]) for r in state.collect()}
+        eset = set(edges)
+        matched = {i: m for i, (s, m) in rows.items() if m is not None}
+        for i, m in matched.items():
+            assert matched.get(m) == i  # mutual
+            a, b = (i, m) if rows[i][0] == 0 else (m, i)
+            assert (a, b) in eset  # along a real edge
+        for a, b in edges:  # maximality
+            assert a in matched or b in matched
+        again, _ = bipartite_matching(g)
+        assert {r["id"]: r["match"] for r in again.collect()} == {
+            i: rows[i][1] for i in rows
+        }
+        return info
+
+    rng = random.Random(5)
+    for trial in range(3):
+        edges = sorted(
+            {
+                (rng.randrange(0, 30), 100 + rng.randrange(0, 30))
+                for _ in range(60)
+            }
+        )
+        check(edges)
+    # star: many lefts fight over one right — exactly one match survives
+    info = check([(i, 100) for i in range(10)])
+    assert info.converged
+
+    # non-bipartite input (id on both sides) must be rejected
+    import pytest
+
+    bad = spark.createDataFrame([(0, 1), (1, 2)], "src long, dst long")
+    g = Graph(edges=bad, vertices=bad.selectExpr("src AS id").union(bad.selectExpr("dst")).distinct(), num_vertices=0, num_edges=2)
+    with pytest.raises(ValueError, match="both src and dst"):
+        bipartite_matching(g)
