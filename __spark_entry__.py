@@ -71,6 +71,31 @@ _COSUPPLY_SQL = (
 )
 
 
+def _sparse_copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministically sparsified co-purchase graph (~1/7 of the pairs
+    by an integer mod predicate) — the dense graph peels in one wave,
+    so k-core needs this thinner variant to exercise a real multi-wave
+    peeling cascade (6 waves at sf0.01, k=8)."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .filter((F.col("o_custkey") * 31 + F.col("l_suppkey")) % 7 == 0)
+        .select(
+            F.col("o_custkey").alias("src"),
+            (F.col("l_suppkey") + F.lit(SUPPLIER_OFFSET)).alias("dst"),
+        )
+        .distinct()
+    )
+
+
+_SPARSE_COPURCHASE_SQL = (
+    "SELECT DISTINCT o_custkey AS src, l_suppkey + 1000000 AS dst "
+    "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+    "WHERE (o_custkey * 31 + l_suppkey) % 7 = 0"
+)
+
+
 # --------------------------------------------------------------- entry
 
 
@@ -422,6 +447,9 @@ PR_K = 12  # supersteps unrolled in the PageRank driver oracle
 LPA_K = 5  # iterations unrolled in the LPA driver oracle
 MATCH_K = 12  # matching rounds unrolled in the oracle (engine converges
 #              earlier; post-fixpoint rounds are no-ops on both sides)
+KCORE_K = 12  # peeling rounds unrolled in the k-core oracle (6 waves at
+#              sf0.01; post-fixpoint rounds are no-ops on both sides)
+KCORE_DEG = 8  # the k of the driver's k-core entry
 
 
 def _pagerank_oracle_sql(k: int, limit: int = 50, dangling: str = "drop") -> str:
@@ -530,6 +558,33 @@ def _matching_oracle_sql(rounds: int) -> str:
     parts.append(
         f" SELECT src AS left_id, dst AS right_id FROM p{rounds} "
         "ORDER BY left_id"
+    )
+    return "".join(parts)
+
+
+def _kcore_oracle_sql(k: int, rounds: int) -> str:
+    """R rounds of k-core peeling (algorithms/kcore.py) on the
+    symmetrized sparse co-purchase graph: round i recounts degrees
+    within the surviving vertex set and keeps deg >= k. Integer-exact;
+    rounds past the fixpoint are no-ops, so any R >= the convergence
+    round matches the converged engine result. The final round's count
+    IS the engine's `core_deg` (degree within the induced k-core)."""
+    parts = [
+        f"WITH c AS MATERIALIZED ({_SPARSE_COPURCHASE_SQL}), ",
+        "e AS MATERIALIZED (SELECT src, dst FROM c "
+        "UNION SELECT dst, src FROM c), ",
+        "a0 AS MATERIALIZED (SELECT DISTINCT src AS id FROM e)",
+    ]
+    for i in range(1, rounds + 1):
+        parts.append(
+            f", d{i} AS (SELECT e.src AS id, count(*) AS deg FROM e "
+            f"JOIN a{i - 1} x ON e.src = x.id "
+            f"JOIN a{i - 1} y ON e.dst = y.id GROUP BY e.src)"
+            f", a{i} AS MATERIALIZED (SELECT id FROM d{i} WHERE deg >= {k})"
+        )
+    parts.append(
+        f" SELECT id, deg AS core_deg FROM d{rounds} WHERE deg >= {k} "
+        "ORDER BY id"
     )
     return "".join(parts)
 
@@ -766,6 +821,23 @@ def q_bipartite_matching(spark, sf_dir):  # paper §5.3 example program
     )
 
 
+def q_kcore_membership(spark, sf_dir):  # k-core via delta peeling waves
+    # frontier-delta formulation: per superstep only the newly-dead
+    # wave scatters decrements (total messages <= 2|E| over the whole
+    # run); the oracle recounts full degrees per unrolled round —
+    # different evaluation strategies, identical fixpoint.
+    from linkgraph.algorithms import kcore
+    from linkgraph.graph import Graph
+
+    g = Graph.prepare(_sparse_copurchase_edges(spark, sf_dir))
+    state, _ = kcore(g, k=KCORE_DEG, max_supersteps=KCORE_K)
+    return (
+        state.filter("alive")
+        .select("id", F.col("deg").alias("core_deg"))
+        .orderBy("id")
+    )
+
+
 def q_lpa_copurchase(spark, sf_dir):  # C3 sync LPA, fixed LPA_K iters
     from linkgraph.algorithms import label_propagation
     from linkgraph.graph import Graph
@@ -918,6 +990,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank_csr_kernel": q_pagerank_csr_kernel,
         "ppr_copurchase": q_ppr_copurchase,
         "bipartite_matching": q_bipartite_matching,
+        "kcore_membership": q_kcore_membership,
         "lpa_copurchase": q_lpa_copurchase,
         "minhash_lsh_candidates": q_minhash_lsh_candidates,
         "near_dup_pipeline": q_near_dup_pipeline,
@@ -1145,6 +1218,7 @@ def oracle_sql() -> dict[str, str]:
         "pagerank_redistribute": _pagerank_oracle_sql(PR_K, dangling="redistribute"),
         "ppr_copurchase": _ppr_oracle_sql(PR_K),
         "bipartite_matching": _matching_oracle_sql(MATCH_K),
+        "kcore_membership": _kcore_oracle_sql(KCORE_DEG, KCORE_K),
         "pagerank_hot_broadcast": _pagerank_oracle_sql(PR_K),
         "pagerank_csr_kernel": _pagerank_oracle_sql(PR_K),
         "lpa_copurchase": _lpa_oracle_sql(LPA_K),

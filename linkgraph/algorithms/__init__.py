@@ -4,8 +4,12 @@ from linkgraph.algorithms.lpa import label_propagation
 from linkgraph.algorithms.triangles import triangle_counts
 from linkgraph.algorithms.sssp import sssp
 from linkgraph.algorithms.matching import bipartite_matching
+from linkgraph.algorithms.kcore import kcore
+from linkgraph.algorithms.semiclustering import semi_clustering
 
 __all__ = [
+    "kcore",
+    "semi_clustering",
     "pagerank",
     "personalized_pagerank",
     "bipartite_matching",

@@ -1,0 +1,190 @@
+"""Semi-clustering (Pregel paper §5.4) as Pregel supersteps.
+
+A semi-cluster is a set of <= m_max vertices scored by
+``S_c = (I_c - f_b * B_c) / (V_c * (V_c - 1) / 2)`` where I_c is the
+number of internal edges, B_c the number of boundary edges and V_c the
+member count (unit edge weights — our link graphs are unweighted;
+singletons score 0, pinned for determinism). Every vertex maintains
+the best ``c_max`` semi-clusters that CONTAIN it; each superstep it
+sends that list to its neighbors, extends every received cluster that
+does not contain it (and has room) with itself, and keeps the best
+c_max of old + extended + received-containing-V, ordered by
+(score desc, members lexicographic asc) — the deterministic tie-break
+that replaces the paper's arbitrary ordering. The run settles when no
+vertex's list changes.
+
+Deviation from the paper, pinned and mirrored by the pure-python test
+oracle: the paper forwards the best of (received + extended) even when
+a cluster does not contain the sender; we forward the vertex's OWN
+list (clusters containing it). This is the common open-source
+formulation (one state, no separate forward buffer) and keeps message
+size = state size = c_max clusters.
+
+I_c/B_c are maintained INCREMENTALLY: a cluster carries (members, ic,
+bc); when V joins, edges from V to members flip boundary -> internal
+and V's other edges join the boundary — all computable from V's own
+adjacency list, so no cluster-induced-subgraph lookup is ever needed
+(the paper's same trick, made explicit).
+
+Scale shape: state and messages are bounded by c_max * m_max ids per
+vertex, so the per-superstep shuffle is O(|E| * c_max * m_max) ids —
+independent of cluster structure. The per-vertex update runs inside
+one Arrow-batched ``mapInPandas`` pass (no row-wise Python UDF); the
+scatter/collect is a plain explode + collect_list aggregation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from linkgraph.graph import Graph, symmetrize
+from linkgraph.pregel import PregelSpec, RunInfo, pregel_run
+
+_CLUSTER_T = T.ArrayType(
+    T.StructType(
+        [
+            T.StructField("members", T.ArrayType(T.LongType())),
+            T.StructField("ic", T.LongType()),
+            T.StructField("bc", T.LongType()),
+        ]
+    )
+)
+
+_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.LongType()),
+        T.StructField("clusters", _CLUSTER_T),
+        T.StructField("changed", T.BooleanType()),
+    ]
+)
+
+
+def _score(ic: int, bc: int, n: int, f_b: float) -> float:
+    if n <= 1:
+        return 0.0
+    return (ic - f_b * bc) / (n * (n - 1) / 2.0)
+
+
+def _update_rows(batches, c_max: int, m_max: int, f_b: float):
+    """mapInPandas kernel: one row per vertex — (id, clusters, nbrs,
+    incoming) -> (id, clusters, changed). Pure-python dict/list work
+    over Arrow-delivered nested arrays; no Spark calls inside."""
+    import pandas as pd
+
+    def canon(cl):
+        return tuple(cl["members"])
+
+    for pdf in batches:
+        out_id, out_clusters, out_changed = [], [], []
+        for _, row in pdf.iterrows():
+            vid = int(row["id"])
+            nbrs = set(int(x) for x in (row["nbrs"] if row["nbrs"] is not None else []))
+            old = [
+                {"members": [int(m) for m in c["members"]],
+                 "ic": int(c["ic"]), "bc": int(c["bc"])}
+                for c in (row["clusters"] if row["clusters"] is not None else [])
+            ]
+            seen = {canon(c): c for c in old}
+            incoming = row["incoming"] if row["incoming"] is not None else []
+            for c in incoming:
+                members = [int(m) for m in c["members"]]
+                ic, bc = int(c["ic"]), int(c["bc"])
+                if vid in members:
+                    seen.setdefault(tuple(members), {"members": members, "ic": ic, "bc": bc})
+                elif len(members) < m_max:
+                    inter = sum(1 for m in members if m in nbrs)
+                    new_members = sorted(members + [vid])
+                    ext = {
+                        "members": new_members,
+                        # V's edges into the cluster flip boundary->internal;
+                        # V's remaining edges become new boundary edges
+                        "ic": ic + inter,
+                        "bc": bc - inter + (len(nbrs) - inter),
+                    }
+                    seen.setdefault(tuple(new_members), ext)
+            ranked = sorted(
+                seen.values(),
+                key=lambda c: (
+                    -_score(c["ic"], c["bc"], len(c["members"]), f_b),
+                    c["members"],
+                ),
+            )[:c_max]
+            out_id.append(vid)
+            out_clusters.append(ranked)
+            out_changed.append(
+                [canon(c) for c in ranked] != [canon(c) for c in old]
+            )
+        yield pd.DataFrame(
+            {"id": out_id, "clusters": out_clusters, "changed": out_changed}
+        )
+
+
+def semi_clustering(
+    graph: Graph,
+    c_max: int = 2,
+    m_max: int = 4,
+    f_b: float = 0.5,
+    max_iter: int = 10,
+    checkpointer=None,
+) -> tuple[DataFrame, RunInfo]:
+    """Returns (state(id, clusters), RunInfo); clusters is the vertex's
+    best-c_max semi-cluster list: array<struct<members, ic, bc>> sorted
+    by (score desc, members asc). Greedy/heuristic like the paper —
+    exactness claims apply to the pinned deterministic schedule, which
+    the pure-python oracle in tests replays step-for-step."""
+    if c_max < 1 or m_max < 2:
+        raise ValueError(
+            f"semi_clustering: need c_max >= 1 and m_max >= 2, got {c_max}/{m_max}"
+        )
+    sym = symmetrize(graph.edges)
+    degrees = sym.groupBy(F.col("src").alias("id")).agg(
+        F.count(F.lit(1)).alias("deg")
+    )
+    adjacency = sym.groupBy(F.col("src").alias("id")).agg(
+        F.sort_array(F.collect_list("dst")).alias("nbrs")
+    )
+
+    def init_state(verts):
+        # singleton cluster {V}: 0 internal edges, deg(V) boundary edges
+        return verts.join(degrees, "id", "left").select(
+            "id",
+            F.array(
+                F.struct(
+                    F.array(F.col("id")).alias("members"),
+                    F.lit(0).cast("long").alias("ic"),
+                    F.coalesce(F.col("deg"), F.lit(0)).cast("long").alias("bc"),
+                )
+            ).cast(_CLUSTER_T).alias("clusters"),
+        )
+
+    def step(links, state, frontier, aggs):
+        msgs = (
+            links.join(state.withColumnRenamed("id", "src"), "src")
+            .select("dst", F.explode("clusters").alias("cl"))
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.collect_list("cl").alias("incoming"))
+        )
+        joined = (
+            state.join(adjacency, "id", "left")
+            .join(msgs, "id", "left")
+            .select("id", "clusters", "nbrs", "incoming")
+        )
+        return joined.mapInPandas(
+            lambda it: _update_rows(it, c_max, m_max, f_b), _STATE_SCHEMA
+        )
+
+    spec = PregelSpec(
+        algo="semi_clustering",
+        state_cols=("clusters",),
+        init_state=init_state,
+        prepare_links=lambda e: symmetrize(e),
+        step=step,
+        metrics={"active": F.sum(F.col("changed").cast("long"))},
+        halt=lambda a: int(a.get("active") or 0) == 0,
+        frontier_filter=None,
+    )
+    return pregel_run(
+        graph, spec, max_supersteps=max_iter, checkpointer=checkpointer
+    )

@@ -243,3 +243,138 @@ def test_bipartite_matching_is_valid_maximal_and_deterministic(spark, graph_buil
     g = Graph(edges=bad, vertices=bad.selectExpr("src AS id").union(bad.selectExpr("dst")).distinct(), num_vertices=0, num_edges=2)
     with pytest.raises(ValueError, match="both src and dst"):
         bipartite_matching(g)
+
+
+def test_kcore_matches_networkx(graph_builder):
+    """k-core via delta peeling waves == networkx core_number for every
+    k, INCLUDING the in-core degree (degree within the induced core),
+    on seeded random graphs; isolated extra vertices die in wave 1."""
+    import random
+
+    import networkx as nx
+
+    from linkgraph.algorithms import kcore
+
+    rng = random.Random(11)
+    edges = set()
+    while len(edges) < 140:
+        a, b = rng.randrange(50), rng.randrange(50)
+        if a != b:
+            edges.add((min(a, b), max(a, b)))
+    G = nx.Graph(edges)
+    cn = nx.core_number(G)
+    g = graph_builder(sorted(edges), extra_vertices=(900,))
+    for k in (1, 2, 3, 4, 5):
+        state, info = kcore(g, k)
+        rows = state.collect()
+        got = {r["id"] for r in rows if r["alive"]}
+        want = {v for v, c in cn.items() if c >= k}
+        assert got == want, f"k={k}"
+        sub = G.subgraph(want)
+        got_deg = {r["id"]: r["deg"] for r in rows if r["alive"]}
+        assert got_deg == {v: sub.degree(v) for v in want}, f"k={k} core degs"
+        assert 900 not in got  # isolated vertex peels immediately
+        assert info.converged
+
+
+def test_kcore_rejects_bad_k(graph_builder):
+    import pytest
+
+    from linkgraph.algorithms import kcore
+
+    with pytest.raises(ValueError, match="k must be >= 1"):
+        kcore(graph_builder([(0, 1)]), 0)
+
+
+def _py_semicluster(edges, c_max, m_max, f_b, max_iter):
+    """Pure-python replay of semiclustering.py's pinned schedule."""
+    import collections
+
+    adj = collections.defaultdict(set)
+    for a, b in edges:
+        adj[a].add(b)
+        adj[b].add(a)
+    verts = sorted(adj)
+
+    def score(ic, bc, n):
+        return 0.0 if n <= 1 else (ic - f_b * bc) / (n * (n - 1) / 2.0)
+
+    state = {v: [((v,), 0, len(adj[v]))] for v in verts}
+    for _ in range(max_iter):
+        incoming = collections.defaultdict(list)
+        for u in verts:
+            for nbr in adj[u]:
+                incoming[nbr].extend(state[u])
+        new, any_changed = {}, False
+        for v in verts:
+            seen = {mem: (ic, bc) for mem, ic, bc in state[v]}
+            for mem, ic, bc in incoming[v]:
+                if v in mem:
+                    seen.setdefault(mem, (ic, bc))
+                elif len(mem) < m_max:
+                    inter = len(set(mem) & adj[v])
+                    nm = tuple(sorted(mem + (v,)))
+                    seen.setdefault(
+                        nm, (ic + inter, bc - inter + len(adj[v]) - inter)
+                    )
+            ranked = sorted(
+                seen.items(),
+                key=lambda kv: (
+                    -score(kv[1][0], kv[1][1], len(kv[0])),
+                    list(kv[0]),
+                ),
+            )[:c_max]
+            new[v] = [(m, i, b) for m, (i, b) in ranked]
+            if [m for m, _, _ in new[v]] != [m for m, _, _ in state[v]]:
+                any_changed = True
+        state = new
+        if not any_changed:
+            break
+    return state
+
+
+def test_semiclustering_matches_python_oracle(graph_builder):
+    """Engine semi-clustering == the pure-python replay, member-for-
+    member and score-for-score (ic/bc integer-exact), and the carried
+    ic/bc equal ground-truth internal/boundary counts of each member
+    set — validating the incremental maintenance."""
+    import random
+
+    from linkgraph.algorithms import semi_clustering
+
+    rng = random.Random(23)
+    edges = set()
+    while len(edges) < 70:
+        a, b = rng.randrange(25), rng.randrange(25)
+        if a != b:
+            edges.add((min(a, b), max(a, b)))
+    edges = sorted(edges)
+    c_max, m_max, f_b, iters = 2, 4, 0.5, 6
+    want = _py_semicluster(edges, c_max, m_max, f_b, iters)
+
+    g = graph_builder(edges)
+    state, info = semi_clustering(g, c_max=c_max, m_max=m_max, f_b=f_b, max_iter=iters)
+    got = {
+        r["id"]: [
+            (tuple(c["members"]), c["ic"], c["bc"]) for c in r["clusters"]
+        ]
+        for r in state.collect()
+    }
+    assert got == want
+
+    eset = {frozenset(e) for e in edges}
+    for v, clusters in got.items():
+        for members, ic, bc in clusters:
+            ms = set(members)
+            true_ic = sum(1 for e in eset if e <= ms)
+            true_bc = sum(1 for e in eset if len(e & ms) == 1)
+            assert (ic, bc) == (true_ic, true_bc), (v, members)
+
+
+def test_semiclustering_rejects_bad_params(graph_builder):
+    import pytest
+
+    from linkgraph.algorithms import semi_clustering
+
+    with pytest.raises(ValueError, match="c_max"):
+        semi_clustering(graph_builder([(0, 1)]), c_max=0)
