@@ -955,6 +955,31 @@ def q_simhash_sample(spark, sf_dir):  # pipeline: SimHash fingerprints
     )
 
 
+def q_doc_tfidf_top_terms(spark, sf_dir):  # pipeline: TF-IDF ranking
+    from linkgraph.pipeline.textstats import tfidf_top_terms
+
+    return tfidf_top_terms(_t(spark, sf_dir, "documents"), top_n=3)
+
+
+BM25_QUERY = ["table", "spark", "query"]
+
+
+def q_doc_bm25(spark, sf_dir):  # pipeline: BM25 relevance scoring
+    from linkgraph.pipeline.textstats import bm25_scores
+
+    return bm25_scores(_t(spark, sf_dir, "documents"), BM25_QUERY)
+
+
+def q_rp_lsh_sigs(spark, sf_dir):  # pipeline: random-hyperplane LSH
+    # integer-quantized hyperplane signatures are bitwise-exact across
+    # engines — the oracle regenerates the md5-derived ±1 planes in SQL
+    from linkgraph.pipeline.similarity import rp_lsh_signatures
+
+    return rp_lsh_signatures(
+        _t(spark, sf_dir, "embeddings"), nbits=16, quant=1000
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "copurchase_edges": q_copurchase_edges,
@@ -997,6 +1022,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jaccard_verified_pairs": q_jaccard_verified_pairs,
         "ann_ivf": q_ann_ivf,
         "simhash_sample": q_simhash_sample,
+        "doc_tfidf_top_terms": q_doc_tfidf_top_terms,
+        "doc_bm25": q_doc_bm25,
+        "rp_lsh_sigs": q_rp_lsh_sigs,
     }
 
 
@@ -1228,6 +1256,54 @@ def oracle_sql() -> dict[str, str]:
         ),
         "jaccard_verified_pairs": _jaccard_oracle_sql(),
         "simhash_sample": _simhash_oracle_sql(),
+        "doc_tfidf_top_terms": (
+            "WITH tok AS (SELECT doc_id, t.term FROM documents, "
+            "unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS t(term) "
+            "WHERE t.term <> ''), "
+            "tf AS (SELECT doc_id, term, count(*) AS tf FROM tok "
+            "GROUP BY doc_id, term), "
+            "dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term), "
+            "n AS (SELECT count(*) AS n FROM documents), "
+            "scored AS (SELECT doc_id, term, "
+            "round(tf * (ln((1.0 + n.n) / (1.0 + df)) + 1.0), 6) AS tfidf "
+            "FROM tf JOIN dfreq USING (term) CROSS JOIN n), "
+            "r AS (SELECT doc_id, term, tfidf, row_number() OVER "
+            "(PARTITION BY doc_id ORDER BY tfidf DESC, term ASC) AS rn "
+            "FROM scored) "
+            "SELECT doc_id, term, tfidf FROM r WHERE rn <= 3"
+        ),
+        "doc_bm25": (
+            "WITH tok AS (SELECT doc_id, t.term FROM documents, "
+            "unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS t(term) "
+            "WHERE t.term <> ''), "
+            "dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id), "
+            "stats AS (SELECT avg(dl) AS avgdl, count(*) AS n FROM dl), "
+            "qtf AS (SELECT doc_id, term, count(*) AS tf FROM tok "
+            "WHERE term IN ('table', 'spark', 'query') "
+            "GROUP BY doc_id, term), "
+            "dfreq AS (SELECT term, count(*) AS df FROM qtf GROUP BY term), "
+            "c AS (SELECT q.doc_id, "
+            "ln(1.0 + (s.n - f.df + 0.5) / (f.df + 0.5)) "
+            "* (q.tf * (1.2 + 1.0)) "
+            "/ (q.tf + 1.2 * (1.0 - 0.75 + 0.75 * d.dl / s.avgdl)) AS c "
+            "FROM qtf q JOIN dfreq f USING (term) JOIN dl d USING (doc_id) "
+            "CROSS JOIN stats s) "
+            "SELECT doc_id, round(sum(c), 6) AS bm25 FROM c GROUP BY doc_id"
+        ),
+        "rp_lsh_sigs": (
+            "WITH planes AS (SELECT p.range AS p, j.range AS j, "
+            "CASE WHEN ascii(substr(md5(CAST(p.range AS VARCHAR) || '_' "
+            "|| CAST(j.range AS VARCHAR)), 1, 1)) % 2 = 0 "
+            "THEN 1 ELSE -1 END AS s FROM range(16) p, range(64) j), "
+            "q AS (SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS j, "
+            "CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000) AS BIGINT) "
+            "AS qv FROM embeddings), "
+            "d AS (SELECT q.vec_id, pl.p, sum(pl.s * q.qv) AS dot "
+            "FROM q JOIN planes pl ON q.j = pl.j GROUP BY q.vec_id, pl.p) "
+            "SELECT vec_id, CAST(sum(CASE WHEN dot >= 0 "
+            "THEN 1::BIGINT << p ELSE 0 END) AS BIGINT) AS sig "
+            "FROM d GROUP BY vec_id"
+        ),
         # nprobe=C IVF == exact brute-force cosine top-k (same SQL)
         "ann_ivf": (
             "WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv "

@@ -253,3 +253,126 @@ def ivf_topk_stored(
         .orderBy(F.desc("cosine"), F.asc("vec_id"))
         .limit(k)
     )
+
+
+# ------------------------------------------------------- RP-LSH
+
+
+def _rp_sign_matrix(nbits: int, dim: int):
+    """Deterministic ±1 hyperplane matrix derived from md5(p || '_' || j)
+    — no RNG, so the matrix is identical on every executor, across
+    runs, AND reproducible in any engine with md5 (the DuckDB oracle
+    regenerates it in SQL: sign = +1 iff ascii of the first hex char
+    is even)."""
+    import hashlib
+
+    import numpy as np
+
+    m = np.empty((nbits, dim), dtype=np.int64)
+    for p in range(nbits):
+        for j in range(dim):
+            ch = hashlib.md5(f"{p}_{j}".encode()).hexdigest()[0]
+            m[p, j] = 1 if ord(ch) % 2 == 0 else -1
+    return m
+
+
+def rp_lsh_signatures(
+    df: DataFrame,
+    nbits: int = 16,
+    quant: int = 1000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Random-hyperplane (SimHash-for-vectors) LSH signature per vector:
+    bit p = [<q, s_p> >= 0] where q = floor(vec * quant) is the
+    INTEGER-quantized vector and s_p a deterministic ±1 hyperplane.
+    Returns (id_col, sig: long) with sig = Σ bit_p << p.
+
+    Quantizing with floor() before the dot product makes the signature
+    integer-exact — no float summation-order ulps can flip a bit, so
+    the signature is bitwise-identical across engines, partitionings,
+    and runs (the property the DuckDB oracle checks). Cosine-similar
+    vectors agree on most hyperplane sides, so equal signatures (or
+    equal signature bands) are near-duplicate candidates — the
+    embedding-side analogue of MinHash-LSH for text, and the scale
+    path for embedding near-dup: grouping by sig is one hash shuffle
+    of (id, 8-byte sig), vs the label-blocked O(m²) cosine join.
+
+    Per-batch work is one numpy (n×d)·(d×nbits) matmul against an
+    executor-local sign matrix (built from md5 on first use — no
+    broadcast needed, no Catalyst expression tree growing with nbits).
+    """
+    if not (1 <= nbits <= 62):
+        raise ValueError(f"rp_lsh_signatures: nbits must be in [1, 62], got {nbits}")
+
+    def kernel(batches):
+        import numpy as np
+        import pandas as pd
+
+        s = None
+        weights = (np.int64(1) << np.arange(nbits, dtype=np.int64))
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            v = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            q = np.floor(v * quant).astype(np.int64)
+            if s is None:
+                s = _rp_sign_matrix(nbits, q.shape[1])
+            bits = (q @ s.T >= 0).astype(np.int64)
+            yield pd.DataFrame(
+                {id_col: pdf[id_col].to_numpy(), "sig": bits @ weights}
+            )
+
+    return df.select(id_col, vec_col).mapInPandas(
+        kernel, f"{id_col} long, sig long"
+    )
+
+
+def rp_lsh_candidates(
+    df: DataFrame,
+    nbits: int = 16,
+    bands: int = 4,
+    quant: int = 1000,
+    max_bucket_size: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Candidate near-duplicate pairs: vectors sharing any BAND of
+    their RP-LSH signature (banding trades precision for recall
+    exactly like MinHash-LSH). Returns distinct (id_a, id_b), id_a <
+    id_b. `max_bucket_size` caps the per-bucket pair blowup the same
+    way the text-LSH path does: oversized buckets are dropped (they
+    are near-constant embedding regions a verify stage should handle
+    by other means)."""
+    if nbits % bands != 0:
+        raise ValueError(f"rp_lsh_candidates: bands={bands} must divide nbits={nbits}")
+    width = nbits // bands
+    mask = (1 << width) - 1
+    sig = rp_lsh_signatures(df, nbits=nbits, quant=quant, id_col=id_col, vec_col=vec_col)
+    banded = sig.select(
+        F.col(id_col).alias("id"),
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(i).alias("band"),
+                    F.shiftright("sig", i * width).bitwiseAND(F.lit(mask)).alias("key"),
+                )
+                for i in range(bands)
+            ])
+        ).alias("bk"),
+    ).select("id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    if max_bucket_size is not None:
+        counts = banded.groupBy("band", "key").agg(F.count(F.lit(1)).alias("_n"))
+        banded = banded.join(
+            counts.filter(F.col("_n") <= max_bucket_size).select("band", "key"),
+            ["band", "key"],
+            "left_semi",
+        )
+    a = banded.select("band", "key", F.col("id").alias("id_a"))
+    b = banded.select("band", "key", F.col("id").alias("id_b"))
+    return (
+        a.join(b, ["band", "key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )

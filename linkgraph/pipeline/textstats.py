@@ -84,6 +84,129 @@ def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def tokenize(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """One row per (doc, token): lowercase, split on non-alphanumeric
+    runs, empty tokens dropped. JVM split+explode — the tokenizer is
+    pinned to a regex both Spark (Java regex) and DuckDB (RE2)
+    evaluate identically, so ranking oracles can re-tokenize."""
+    return df.select(
+        id_col,
+        F.explode(
+            F.split(F.lower(F.col(text_col)), r"[^a-z0-9]+")
+        ).alias("term"),
+    ).filter(F.col("term") != "")
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    top_n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document top-N terms by TF-IDF (idf = ln((1+N)/(1+df)) + 1,
+    the smoothed sklearn form; ties -> lexicographically smallest
+    term). Returns (doc_id, term, tfidf rounded to 6 dp — ranking uses
+    the ROUNDED value so cross-engine ulps can't flip the cut).
+
+    Scale shape: tf is one (doc,term) hash-agg over the exploded
+    tokens (map-side combine absorbs within-partition repeats); df is
+    a term-keyed agg OF THE TF TABLE (cardinality sum-of-vocab, never
+    re-reads the corpus); N rides along as a broadcast 1-row
+    cross-join, so the whole plan has no driver-side action. The
+    term-keyed idf join is zipf-skewed at corpus scale — the tf
+    pre-aggregation bounds each term's row count by |docs|, and AQE
+    skew-join splits the residual hot partitions.
+    """
+    tok = tokenize(df, id_col, text_col)
+    tf = tok.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = df.agg(F.count(F.lit(1)).alias("n"))
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n))
+        .withColumn(
+            "tfidf",
+            F.round(
+                F.col("tf")
+                * (
+                    F.log((F.lit(1.0) + F.col("n")) / (F.lit(1.0) + F.col("df")))
+                    + F.lit(1.0)
+                ),
+                6,
+            ),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(id_col).orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= top_n)
+        .select(id_col, "term", "tfidf")
+    )
+
+
+def bm25_scores(
+    df: DataFrame,
+    query_terms: list[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """BM25 score of every document against a fixed query term set.
+
+    idf(t) = ln(1 + (N - df + 0.5)/(df + 0.5)); per-term contribution
+    tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl)); documents with no
+    query term are omitted (score would be 0). Returns
+    (doc_id, bm25 rounded 6).
+
+    Scale shape: the query-term filter lands IMMEDIATELY after
+    explode — everything downstream (tf, df, the dl join) is bounded
+    by |docs| * |query|, not corpus token count; dl/avgdl/N are
+    corpus-level aggregates computed once (avgdl+N share one 1-row
+    broadcast).
+    """
+    if not query_terms:
+        raise ValueError("bm25_scores: query_terms must be non-empty")
+    tok = tokenize(df, id_col, text_col)
+    dl = tok.groupBy(id_col).agg(F.count(F.lit(1)).alias("dl"))
+    stats = dl.agg(
+        F.avg("dl").alias("avgdl"), F.count(F.lit(1)).alias("n")
+    )
+    qtf = (
+        tok.filter(F.col("term").isin([str(t) for t in query_terms]))
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = qtf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    contrib = (
+        qtf.join(F.broadcast(dfreq), "term")
+        .join(dl, id_col)
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "idf",
+            F.log(
+                F.lit(1.0)
+                + (F.col("n") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+            ),
+        )
+        .withColumn(
+            "c",
+            F.col("idf")
+            * (F.col("tf") * (F.lit(k1) + 1.0))
+            / (
+                F.col("tf")
+                + F.lit(k1)
+                * (F.lit(1.0) - F.lit(b) + F.lit(b) * F.col("dl") / F.col("avgdl"))
+            ),
+        )
+    )
+    return contrib.groupBy(id_col).agg(F.round(F.sum("c"), 6).alias("bm25"))
+
+
 def fingerprint_col(text_col: str = "text", prefix_len: int = 64):
     """Deterministic document fingerprint: md5 of the lowercased,
     whitespace-collapsed prefix — robust to trailing noise, cheap, and

@@ -410,3 +410,140 @@ def test_ppr_source_validation(spark, graph_builder):
     assert all(abs(ra[i] - rb[i]) < 1e-12 for i in ra)
     with pytest.raises(ValueError, match="not present"):
         personalized_pagerank(g, [0, 99])
+
+
+def test_rp_lsh_signatures_deterministic_and_similarity_sensitive(spark):
+    """RP-LSH: (a) identical vectors get identical signatures; (b) a
+    tiny perturbation flips few bits (hamming-close signatures); (c) a
+    negated vector flips ALL decided bits; (d) the signature is
+    partition-invariant (integer quantization leaves no float path)."""
+    import math
+    import random
+
+    from linkgraph.pipeline.similarity import rp_lsh_signatures
+
+    rng = random.Random(3)
+    base = [rng.uniform(-1, 1) for _ in range(64)]
+    near = [x + rng.uniform(-0.001, 0.001) for x in base]
+    far = [-x for x in base]
+    rows = [(0, base), (1, list(base)), (2, near), (3, far)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    sigs = {r["vec_id"]: r["sig"] for r in rp_lsh_signatures(df, nbits=16).collect()}
+    assert sigs[0] == sigs[1]
+    ham_near = bin(sigs[0] ^ sigs[2]).count("1")
+    ham_far = bin(sigs[0] ^ sigs[3]).count("1")
+    assert ham_near <= 3
+    assert ham_far >= 10  # opposite direction disagrees almost everywhere
+
+    sigs8 = {
+        r["vec_id"]: r["sig"]
+        for r in rp_lsh_signatures(df.repartition(7), nbits=16).collect()
+    }
+    assert sigs8 == sigs
+
+    import pytest
+
+    with pytest.raises(ValueError, match="nbits"):
+        rp_lsh_signatures(df, nbits=0)
+
+
+def test_rp_lsh_candidates_find_planted_neardup(spark):
+    """Banded RP-LSH candidates contain the planted near-dup pair and
+    not the full cross product; the bucket cap drops a degenerate
+    all-equal cluster."""
+    import random
+
+    from linkgraph.pipeline.similarity import rp_lsh_candidates
+
+    rng = random.Random(9)
+    rows = []
+    for i in range(40):
+        rows.append((i, [rng.uniform(-1, 1) for _ in range(32)]))
+    base = rows[0][1]
+    rows.append((100, [x + rng.uniform(-0.0005, 0.0005) for x in base]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in rp_lsh_candidates(df, nbits=16, bands=4).collect()
+    }
+    assert (0, 100) in pairs
+    assert len(pairs) < 41 * 40 / 2  # not the cross product
+
+    # degenerate: many identical vectors -> one hot bucket; cap drops it
+    clones = [(200 + i, list(base)) for i in range(20)]
+    df2 = spark.createDataFrame(rows + clones, "vec_id long, embedding array<float>")
+    capped = rp_lsh_candidates(df2, nbits=16, bands=4, max_bucket_size=10)
+    got = {(r["id_a"], r["id_b"]) for r in capped.collect()}
+    assert not any(a >= 200 and b >= 200 for a, b in got)
+
+    import pytest
+
+    with pytest.raises(ValueError, match="must divide"):
+        rp_lsh_candidates(df, nbits=16, bands=3)
+
+
+def test_tfidf_and_bm25_match_python(spark):
+    """tfidf_top_terms / bm25_scores == a pure-python replay of the
+    pinned formulas on a literal corpus."""
+    import math
+
+    from linkgraph.pipeline.textstats import bm25_scores, tfidf_top_terms
+
+    docs = [
+        (0, "spark table query table"),
+        (1, "query of the data table"),
+        (2, "spark spark stream"),
+        (3, "window window window agg"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    toks = {i: t.split() for i, t in docs}
+    n = len(docs)
+
+    tf = {(i, w): toks[i].count(w) for i in toks for w in set(toks[i])}
+    dfreq = {}
+    for (_, w) in tf:
+        dfreq[w] = dfreq.get(w, 0) + 1
+    want_scored = {
+        (i, w): round(c * (math.log((1.0 + n) / (1.0 + dfreq[w])) + 1.0), 6)
+        for (i, w), c in tf.items()
+    }
+    got = tfidf_top_terms(df, top_n=2).collect()
+    for r in got:
+        assert r["tfidf"] == want_scored[(r["doc_id"], r["term"])]
+    for i in toks:  # the chosen terms are the true top-2
+        mine = sorted(
+            (r["term"] for r in got if r["doc_id"] == i),
+        )
+        true = sorted(
+            w
+            for w in sorted(
+                {w for w in toks[i]},
+                key=lambda w: (-want_scored[(i, w)], w),
+            )[:2]
+        )
+        assert mine == true, i
+
+    q = ["spark", "query"]
+    dl = {i: len(toks[i]) for i in toks}
+    avgdl = sum(dl.values()) / n
+    qdf = {w: sum(1 for i in toks if w in toks[i]) for w in q}
+    want_bm25 = {}
+    for i in toks:
+        s = 0.0
+        for w in q:
+            c = toks[i].count(w)
+            if c == 0:
+                continue
+            idf = math.log(1.0 + (n - qdf[w] + 0.5) / (qdf[w] + 0.5))
+            s += idf * (c * (1.2 + 1.0)) / (
+                c + 1.2 * (1.0 - 0.75 + 0.75 * dl[i] / avgdl)
+            )
+        if s:
+            want_bm25[i] = round(s, 6)
+    got_bm25 = {r["doc_id"]: r["bm25"] for r in bm25_scores(df, q).collect()}
+    assert got_bm25 == want_bm25
+
+    import pytest
+
+    with pytest.raises(ValueError, match="non-empty"):
+        bm25_scores(df, [])
