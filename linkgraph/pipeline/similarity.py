@@ -361,6 +361,10 @@ def rp_lsh_candidates(
             ])
         ).alias("bk"),
     ).select("id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    # materialize ONCE: the pair self-join (and the optional cap count)
+    # reference this table twice — without the checkpoint each side
+    # would re-run the signature matmul kernel over the source
+    banded = banded.localCheckpoint()
     if max_bucket_size is not None:
         counts = banded.groupBy("band", "key").agg(F.count(F.lit(1)).alias("_n"))
         banded = banded.join(

@@ -40,7 +40,9 @@ def make_zip(path: str) -> None:
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--make-zip")
-    ap.add_argument("--algo", choices=["pagerank", "ppr", "components", "lpa", "triangles", "sssp"])
+    ap.add_argument("--algo", choices=["pagerank", "ppr", "components", "lpa",
+                                       "triangles", "sssp", "matching",
+                                       "kcore", "semicluster"])
     ap.add_argument("--corpus", help="corpus table: parquet dir (or synth:R,F)")
     ap.add_argument("--corpus-format", default="parquet",
                     choices=["parquet", "csv", "json"],
@@ -64,6 +66,11 @@ def main() -> None:
     ap.add_argument("--source", type=int, default=0, help="sssp source vertex")
     ap.add_argument("--sources", default=None,
                     help="ppr teleport set: comma-separated vertex ids")
+    ap.add_argument("--k", type=int, default=3, help="kcore: the k")
+    ap.add_argument("--c-max", type=int, default=2,
+                    help="semicluster: clusters kept per vertex")
+    ap.add_argument("--m-max", type=int, default=4,
+                    help="semicluster: max members per cluster")
     args = ap.parse_args()
 
     if args.make_zip:
@@ -150,6 +157,23 @@ def main() -> None:
         from linkgraph.algorithms import sssp
 
         state, info = sssp(g, source=args.source, max_supersteps=args.max_supersteps)
+    elif args.algo == "matching":
+        from linkgraph.algorithms import bipartite_matching
+
+        state, info = bipartite_matching(g, max_supersteps=args.max_supersteps)
+    elif args.algo == "kcore":
+        from linkgraph.algorithms import kcore
+
+        state, info = kcore(
+            g, args.k, max_supersteps=args.max_supersteps, checkpointer=ck
+        )
+    elif args.algo == "semicluster":
+        from linkgraph.algorithms import semi_clustering
+
+        state, info = semi_clustering(
+            g, c_max=args.c_max, m_max=args.m_max,
+            max_iter=args.max_supersteps, checkpointer=ck,
+        )
     else:  # triangles
         from linkgraph.algorithms import triangle_counts
 

@@ -171,3 +171,50 @@ def test_superstep_shuffle_is_bounded(spark, graph_builder):
     n_exchanges = live.count("Exchange hashpartitioning")
     assert n_exchanges <= 1, f"superstep live plan has {n_exchanges} exchanges:\n{live}"
     links.unpersist()
+
+
+def test_tfidf_scan_prunes_and_window_is_per_doc(spark, tmp_path_factory):
+    """TF-IDF over a parquet documents table must (a) read ONLY
+    (doc_id, text) — not lang/source/n_chars — and (b) rank with a
+    window partitioned by doc_id (bounded partitions), never a global
+    sort of the scored table."""
+    from linkgraph.pipeline.textstats import tfidf_top_terms
+
+    p = str(tmp_path_factory.mktemp("docs") / "d.parquet")
+    spark.createDataFrame(
+        [(i, f"alpha beta doc {i}", "en", "s", 10) for i in range(20)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.mode("overwrite").parquet(p)
+    q = tfidf_top_terms(spark.read.parquet(p), top_n=2)
+    plan = plan_of(q)
+    sched = plan.split("ReadSchema")[1][:200]
+    assert "doc_id" in sched and "text" in sched
+    assert "lang" not in sched and "source" not in sched
+    assert "windowspecdefinition(doc_id" in plan
+    # no global sort: Sort nodes print "Sort [...], <global>, 0" — the
+    # window's per-partition sort is 'false'; a 'true' would mean a
+    # whole-table range exchange snuck in
+    for frag in plan.split("Sort [")[1:]:
+        head = frag[:300].split("], ", 1)
+        assert len(head) == 2 and not head[1].startswith("true")
+
+
+def test_rp_lsh_candidates_no_cartesian_and_one_kernel_pass(spark):
+    """The banded candidate join must be an equi-join on (band, key) —
+    no cartesian/BNL — and the signature kernel (mapInPandas) must NOT
+    appear in the pair-join plan at all: the banded table is
+    localCheckpoint'ed once, so neither join side re-runs the matmul
+    kernel over the source."""
+    import random
+
+    from linkgraph.pipeline.similarity import rp_lsh_candidates
+
+    rng = random.Random(1)
+    df = spark.createDataFrame(
+        [(i, [rng.uniform(-1, 1) for _ in range(16)]) for i in range(30)],
+        "vec_id long, embedding array<float>",
+    )
+    q = rp_lsh_candidates(df, nbits=16, bands=4)
+    plan = plan_of(q)
+    assert "Cartesian" not in plan and "BroadcastNestedLoop" not in plan
+    assert plan.count("MapInPandas") == 0  # both sides scan the checkpointed table

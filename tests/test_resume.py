@@ -137,3 +137,43 @@ def test_pagerank_redistribute_resume_restores_aggregates(spark, catalog, graph_
     got = ranks_of(state_b, 7)
     assert np.allclose(got, full, atol=1e-12)
     assert info_b.supersteps == full_info.supersteps
+
+
+def test_semiclustering_resume_with_nested_state(spark, catalog, graph_builder):
+    """Checkpoint/resume with NESTED array-of-struct state: the
+    semi-clustering cluster lists must survive the snapshot write +
+    read-back (parquet nested types / Iceberg) and the resumed run
+    must converge to exactly the uninterrupted result — the
+    deterministic schedule makes equality exact, not approximate."""
+    import random
+
+    from linkgraph.algorithms import semi_clustering
+    from linkgraph.checkpoint import CheckpointManager
+
+    rng = random.Random(4)
+    edges = set()
+    while len(edges) < 40:
+        a, b = rng.randrange(16), rng.randrange(16)
+        if a != b:
+            edges.add((min(a, b), max(a, b)))
+    g = graph_builder(sorted(edges))
+
+    def as_dict(state_df):
+        return {
+            r["id"]: [
+                (tuple(c["members"]), c["ic"], c["bc"]) for c in r["clusters"]
+            ]
+            for r in state_df.collect()
+        }
+
+    full_state, full_info = semi_clustering(g, max_iter=6)
+    want = as_dict(full_state)
+
+    ck = CheckpointManager(catalog, run_id="sc1", every=2)
+    semi_clustering(g, max_iter=2, checkpointer=ck)
+    ck2 = CheckpointManager(catalog, run_id="sc1", every=2)
+    resumed = ck2.try_resume("semi_clustering")
+    assert resumed is not None and resumed[0] == 2
+    state_b, info_b = semi_clustering(g, max_iter=6, checkpointer=ck2)
+    assert as_dict(state_b) == want
+    assert info_b.supersteps == full_info.supersteps
