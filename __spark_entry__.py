@@ -821,6 +821,38 @@ def q_bipartite_matching(spark, sf_dir):  # paper §5.3 example program
     )
 
 
+def _cyclic_copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed graph WITH cycles for SCC: the sparse co-purchase edges
+    plus the reverse of every edge where (src+dst) % 3 == 0 — the
+    bipartite base is acyclic, so SCC structure only appears once some
+    supplier→customer back-edges exist (253 SCCs, largest 196, at
+    sf0.01)."""
+    e = _sparse_copurchase_edges(spark, sf_dir)
+    back = e.filter((F.col("src") + F.col("dst")) % 3 == 0).select(
+        F.col("dst").alias("src"), F.col("src").alias("dst")
+    )
+    return e.unionByName(back).distinct()
+
+
+_CYCLIC_COPURCHASE_SQL = (
+    f"WITH base AS ({_SPARSE_COPURCHASE_SQL}) "
+    "SELECT src, dst FROM base "
+    "UNION SELECT dst, src FROM base WHERE (src + dst) % 3 = 0"
+)
+
+
+def q_scc_membership(spark, sf_dir):  # directed SCC via FW-BW coloring
+    # the oracle computes mutual reachability from the full transitive
+    # closure (O(V·E) — fine at sf0.01); the engine never materializes
+    # reachability, only min-label fixpoints over the shrinking graph
+    from linkgraph.algorithms import scc
+    from linkgraph.graph import Graph
+
+    g = Graph.prepare(_cyclic_copurchase_edges(spark, sf_dir))
+    state, _ = scc(g)
+    return state.select("id", "scc").orderBy("id")
+
+
 def q_kcore_membership(spark, sf_dir):  # k-core via delta peeling waves
     # frontier-delta formulation: per superstep only the newly-dead
     # wave scatters decrements (total messages <= 2|E| over the whole
@@ -1016,6 +1048,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ppr_copurchase": q_ppr_copurchase,
         "bipartite_matching": q_bipartite_matching,
         "kcore_membership": q_kcore_membership,
+        "scc_membership": q_scc_membership,
         "lpa_copurchase": q_lpa_copurchase,
         "minhash_lsh_candidates": q_minhash_lsh_candidates,
         "near_dup_pipeline": q_near_dup_pipeline,
@@ -1247,6 +1280,21 @@ def oracle_sql() -> dict[str, str]:
         "ppr_copurchase": _ppr_oracle_sql(PR_K),
         "bipartite_matching": _matching_oracle_sql(MATCH_K),
         "kcore_membership": _kcore_oracle_sql(KCORE_DEG, KCORE_K),
+        # SCC normal form: scc = min id of the mutual-reachability class,
+        # derived from the full transitive closure (recursive CTE)
+        "scc_membership": (
+            f"WITH RECURSIVE base AS MATERIALIZED ({_SPARSE_COPURCHASE_SQL}), "
+            "e AS MATERIALIZED (SELECT src, dst FROM base "
+            "UNION SELECT dst, src FROM base WHERE (src + dst) % 3 = 0), "
+            "reach AS (SELECT src, dst FROM e "
+            "UNION SELECT r.src, e.dst FROM reach r JOIN e ON r.dst = e.src), "
+            "mutual AS (SELECT a.src AS u, a.dst AS v FROM reach a "
+            "JOIN reach b ON a.src = b.dst AND a.dst = b.src), "
+            "verts AS (SELECT src AS id FROM e UNION SELECT dst FROM e) "
+            "SELECT v.id, least(v.id, coalesce(min(m.v), v.id)) AS scc "
+            "FROM verts v LEFT JOIN mutual m ON v.id = m.u "
+            "GROUP BY v.id ORDER BY v.id"
+        ),
         "pagerank_hot_broadcast": _pagerank_oracle_sql(PR_K),
         "pagerank_csr_kernel": _pagerank_oracle_sql(PR_K),
         "lpa_copurchase": _lpa_oracle_sql(LPA_K),

@@ -6,9 +6,11 @@ from linkgraph.algorithms.sssp import sssp
 from linkgraph.algorithms.matching import bipartite_matching
 from linkgraph.algorithms.kcore import kcore
 from linkgraph.algorithms.semiclustering import semi_clustering
+from linkgraph.algorithms.scc import scc
 
 __all__ = [
     "kcore",
+    "scc",
     "semi_clustering",
     "pagerank",
     "personalized_pagerank",

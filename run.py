@@ -42,7 +42,7 @@ def main() -> None:
     ap.add_argument("--make-zip")
     ap.add_argument("--algo", choices=["pagerank", "ppr", "components", "lpa",
                                        "triangles", "sssp", "matching",
-                                       "kcore", "semicluster"])
+                                       "kcore", "semicluster", "scc"])
     ap.add_argument("--corpus", help="corpus table: parquet dir (or synth:R,F)")
     ap.add_argument("--corpus-format", default="parquet",
                     choices=["parquet", "csv", "json"],
@@ -167,6 +167,10 @@ def main() -> None:
         state, info = kcore(
             g, args.k, max_supersteps=args.max_supersteps, checkpointer=ck
         )
+    elif args.algo == "scc":
+        from linkgraph.algorithms import scc as _scc
+
+        state, info = _scc(g)
     elif args.algo == "semicluster":
         from linkgraph.algorithms import semi_clustering
 

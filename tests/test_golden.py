@@ -378,3 +378,38 @@ def test_semiclustering_rejects_bad_params(graph_builder):
 
     with pytest.raises(ValueError, match="c_max"):
         semi_clustering(graph_builder([(0, 1)]), c_max=0)
+
+
+def test_scc_matches_networkx(spark, graph_builder):
+    """Directed SCC (FW-BW-Trim coloring) == networkx
+    strongly_connected_components with min-id normal form, on seeded
+    random digraphs + a pure DAG chain (all-singleton, trim-only path)
+    + a single cycle."""
+    import random
+
+    import networkx as nx
+
+    from linkgraph.algorithms import scc
+
+    rng = random.Random(17)
+    for _ in range(2):
+        edges = set()
+        while len(edges) < 120:
+            a, b = rng.randrange(40), rng.randrange(40)
+            if a != b:
+                edges.add((a, b))
+        G = nx.DiGraph(edges)
+        want = {}
+        for comp in nx.strongly_connected_components(G):
+            m = min(comp)
+            for v in comp:
+                want[v] = m
+        state, info = scc(graph_builder(sorted(edges)))
+        assert {r["id"]: r["scc"] for r in state.collect()} == want
+        assert info.converged
+
+    state, _ = scc(graph_builder([(i, i + 1) for i in range(12)]))
+    assert {r["id"]: r["scc"] for r in state.collect()} == {i: i for i in range(13)}
+
+    state, _ = scc(graph_builder([(i, (i + 1) % 6) for i in range(6)]))
+    assert {r["id"]: r["scc"] for r in state.collect()} == {i: 0 for i in range(6)}
