@@ -535,6 +535,39 @@ def _ppr_oracle_sql(k: int, limit: int = 50, nsrc: int = 2) -> str:
     return "".join(parts)
 
 
+def _weighted_pagerank_oracle_sql(k: int, limit: int = 50) -> str:
+    """K supersteps of weight-proportional PageRank (d=0.85, dangling
+    drop) on the multiplicity-weighted co-purchase graph — same CTE
+    skeleton as _pagerank_oracle_sql with contrib = pr * w / wsum."""
+    parts = [
+        "WITH e AS MATERIALIZED (SELECT o_custkey AS src, "
+        "l_suppkey + 1000000 AS dst, CAST(count(*) AS DOUBLE) AS w "
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+        "GROUP BY 1, 2), ",
+        "v AS MATERIALIZED (SELECT src AS id FROM e UNION SELECT dst FROM e), ",
+        "nn AS (SELECT count(*) AS n FROM v), ",
+        "ws AS MATERIALIZED (SELECT src, sum(w) AS wsum FROM e GROUP BY src), ",
+        "led AS MATERIALIZED (SELECT e.src, e.dst, e.w, ws.wsum FROM e "
+        "JOIN ws ON e.src = ws.src), ",
+        "s0 AS MATERIALIZED (SELECT v.id, CAST(1 AS DOUBLE) / nn.n AS pr "
+        "FROM v CROSS JOIN nn)",
+    ]
+    for i in range(1, k + 1):
+        parts.append(
+            f", m{i} AS (SELECT l.dst AS id, sum(s.pr * l.w / l.wsum) AS c "
+            f"FROM led l JOIN s{i - 1} s ON l.src = s.id GROUP BY l.dst)"
+            f", s{i} AS MATERIALIZED (SELECT v.id, "
+            "((CAST(1 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / nn.n) "
+            "+ CAST(0.85 AS DOUBLE) * coalesce(m.c, CAST(0 AS DOUBLE)) AS pr "
+            f"FROM v CROSS JOIN nn LEFT JOIN m{i} m ON v.id = m.id)"
+        )
+    parts.append(
+        f" SELECT id, round(pr, 6) AS pr FROM s{k} "
+        f"ORDER BY pr DESC, id ASC LIMIT {limit}"
+    )
+    return "".join(parts)
+
+
 def _matching_oracle_sql(rounds: int) -> str:
     """K rounds of deterministic maximal bipartite matching
     (algorithms/matching.py): requests between unmatched endpoints →
@@ -733,6 +766,35 @@ def q_pagerank_copurchase(spark, sf_dir):  # C1, fixed PR_K supersteps
 
     g = Graph.prepare(_copurchase_edges(spark, sf_dir))
     state, _ = pagerank(g, tol=0.0, max_supersteps=PR_K)
+    return (
+        state.select("id", F.round("rank", 6).alias("pr"))
+        .orderBy(F.desc("pr"), F.asc("id"))
+        .limit(50)
+    )
+
+
+def q_pagerank_weighted(spark, sf_dir):  # C1 variant: weight-proportional
+    # weight = co-purchase multiplicity (lineitem count per pair); rank
+    # distributes proportionally to edge weight instead of uniformly
+    from linkgraph.algorithms import pagerank
+    from linkgraph.graph import Graph, vertices_of
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    edges = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .groupBy(
+            F.col("o_custkey").alias("src"),
+            (F.col("l_suppkey") + F.lit(SUPPLIER_OFFSET)).alias("dst"),
+        )
+        .agg(F.count(F.lit(1)).cast("double").alias("w"))
+    )
+    verts = vertices_of(edges)
+    g = Graph(
+        edges=edges, vertices=verts,
+        num_vertices=verts.count(), num_edges=0,
+    )
+    state, _ = pagerank(g, tol=0.0, max_supersteps=PR_K, weight_col="w")
     return (
         state.select("id", F.round("rank", 6).alias("pr"))
         .orderBy(F.desc("pr"), F.asc("id"))
@@ -1043,6 +1105,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # rows-only (non-SQL-expressible)
         "pagerank_copurchase": q_pagerank_copurchase,
         "pagerank_redistribute": q_pagerank_redistribute,
+        "pagerank_weighted": q_pagerank_weighted,
         "pagerank_hot_broadcast": q_pagerank_hot_broadcast,
         "pagerank_csr_kernel": q_pagerank_csr_kernel,
         "ppr_copurchase": q_ppr_copurchase,
@@ -1277,6 +1340,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "pagerank_copurchase": _pagerank_oracle_sql(PR_K),
         "pagerank_redistribute": _pagerank_oracle_sql(PR_K, dangling="redistribute"),
+        "pagerank_weighted": _weighted_pagerank_oracle_sql(PR_K),
         "ppr_copurchase": _ppr_oracle_sql(PR_K),
         "bipartite_matching": _matching_oracle_sql(MATCH_K),
         "kcore_membership": _kcore_oracle_sql(KCORE_DEG, KCORE_K),

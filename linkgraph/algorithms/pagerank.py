@@ -56,6 +56,7 @@ def pagerank_spec(
     hot_ids=None,
     dangling_ids=None,
     n_dangling: int = 0,
+    weight_col: str | None = None,
 ) -> PregelSpec:
     """The PageRank vertex program as a PregelSpec (n = |V|, frozen).
 
@@ -73,6 +74,11 @@ def pagerank_spec(
     """
     if dangling not in ("drop", "redistribute"):
         raise ValueError(f"dangling must be drop|redistribute, got {dangling!r}")
+    if weight_col is not None and hot_ids is not None:
+        raise ValueError(
+            "weight_col + hot_ids is unsupported: the hot-broadcast "
+            "scatter splits on rank/outdeg, not weight fractions"
+        )
     redistribute = dangling == "redistribute"
     if redistribute and dangling_ids is None:
         raise ValueError(
@@ -84,7 +90,17 @@ def pagerank_spec(
 
     def prepare_links(edges):
         # out-edges with the sender's degree attached: the per-superstep
-        # scatter is then a single equi-join producing rank/outdeg
+        # scatter is then a single equi-join producing rank/outdeg.
+        # Weighted: the degree becomes the out-weight sum, and each edge
+        # carries its weight — contrib = rank * w / wsum. (Kept as a
+        # separate branch so the unweighted plan's float ops — and the
+        # fixed-K CTE oracles pinned to them — are untouched.)
+        if weight_col is not None:
+            w = F.col(weight_col).cast("double")
+            ws = edges.groupBy("src").agg(F.sum(w).alias("wsum"))
+            return edges.join(ws, "src").select(
+                "src", "dst", w.alias("w"), "wsum"
+            )
         deg = out_degrees(edges).withColumnRenamed("id", "src")
         return edges.join(deg, "src").select("src", "dst", "outdeg")
 
@@ -109,6 +125,13 @@ def pagerank_spec(
             from linkgraph.skew import scatter_hot_broadcast
 
             contribs = scatter_hot_broadcast(links, state, hot_ids)
+        elif weight_col is not None:
+            contribs = links.join(
+                state.withColumnRenamed("id", "src"), "src"
+            ).select(
+                "dst",
+                (F.col("rank") * F.col("w") / F.col("wsum")).alias("contrib"),
+            )
         else:
             contribs = links.join(
                 state.withColumnRenamed("id", "src"), "src"
@@ -159,8 +182,15 @@ def pagerank(
     dangling: str = "drop",
     checkpointer=None,
     hot_threshold: int | None = None,
+    weight_col: str | None = None,
 ) -> tuple[DataFrame, RunInfo]:
     """Returns (state(id, rank), RunInfo). float64 end-to-end (§A.6).
+
+    weight_col: optional POSITIVE edge-weight column on graph.edges
+    (note Graph.prepare's canonicalize projects extra columns away —
+    construct the Graph directly for weighted runs, as sssp does);
+    each vertex then distributes rank proportionally to edge weight
+    (contrib = rank * w / Σ out-weights) instead of uniformly.
 
     PageRank does NOT accept mid-compute topology mutations: 1/N and
     (1-d)/N are frozen at start, so a changed vertex set would silently
@@ -170,6 +200,13 @@ def pagerank(
     n = graph.num_vertices
     if n == 0:
         raise ValueError("pagerank on an empty graph (num_vertices == 0)")
+    if weight_col is not None:
+        bad = graph.edges.filter(F.col(weight_col) <= 0).count()
+        if bad:
+            raise ValueError(
+                f"pagerank: {bad} edge(s) have non-positive {weight_col!r} — "
+                "weights must be > 0 (zero out-weight sums divide by zero)"
+            )
 
     hot_ids = None
     if hot_threshold is not None:
@@ -193,6 +230,7 @@ def pagerank(
     spec = pagerank_spec(
         n, d=d, tol=tol, dangling=dangling,
         hot_ids=hot_ids, dangling_ids=dangling_ids, n_dangling=n_dangling,
+        weight_col=weight_col,
     )
     state, info = pregel_run(
         graph, spec, max_supersteps=max_supersteps, checkpointer=checkpointer

@@ -413,3 +413,49 @@ def test_scc_matches_networkx(spark, graph_builder):
 
     state, _ = scc(graph_builder([(i, (i + 1) % 6) for i in range(6)]))
     assert {r["id"]: r["scc"] for r in state.collect()} == {i: 0 for i in range(6)}
+
+
+def test_weighted_pagerank_matches_numpy(spark):
+    """weight_col PageRank == NumPy power iteration on the
+    weight-normalized transition matrix (dangling drop), incl. a
+    dangling vertex; non-positive weights are rejected."""
+    import numpy as np
+    import pytest
+
+    from linkgraph.algorithms import pagerank
+    from linkgraph.graph import Graph, vertices_of
+    from pyspark.sql import functions as F
+
+    edges = [(0, 1, 3.0), (0, 2, 1.0), (1, 2, 2.0), (2, 0, 1.0), (3, 0, 5.0), (1, 4, 2.0)]
+    # vertex 4 is dangling (no out-edges)
+    edf = spark.createDataFrame(edges, "src long, dst long, w double")
+    verts = vertices_of(edf)
+    g = Graph(edges=edf, vertices=verts, num_vertices=verts.count(), num_edges=len(edges))
+    state, info = pagerank(g, tol=1e-12, max_supersteps=200, weight_col="w")
+    got = {r["id"]: r["rank"] for r in state.collect()}
+
+    n, d = 5, 0.85
+    wsum = {}
+    for s, _, w in edges:
+        wsum[s] = wsum.get(s, 0.0) + w
+    r = np.full(n, 1.0 / n)
+    for _ in range(200):
+        nxt = np.full(n, (1.0 - d) / n)
+        for s, t, w in edges:
+            nxt[t] += d * r[s] * w / wsum[s]
+        if np.abs(nxt - r).sum() < 1e-12:
+            r = nxt
+            break
+        r = nxt
+    assert all(abs(got[i] - r[i]) < 1e-9 for i in range(n))
+    # weighting must actually matter: vertex 1 (weight 3 of 4 from 0)
+    # outranks the uniform-split value
+    state_u, _ = pagerank(g, tol=1e-12, max_supersteps=200)
+    uni = {r2["id"]: r2["rank"] for r2 in state_u.collect()}
+    assert got[1] > uni[1]
+
+    bad = spark.createDataFrame([(0, 1, 0.0)], "src long, dst long, w double")
+    bv = vertices_of(bad)
+    gb = Graph(edges=bad, vertices=bv, num_vertices=2, num_edges=1)
+    with pytest.raises(ValueError, match="non-positive"):
+        pagerank(gb, weight_col="w")
