@@ -63,6 +63,11 @@ def main() -> None:
     ap.add_argument("--tol", type=float, default=1e-6)
     ap.add_argument("--max-supersteps", type=int, default=100)
     ap.add_argument("--dangling", default="drop", choices=["drop", "redistribute"])
+    ap.add_argument("--weight-col", default=None,
+                    help="pagerank/sssp: edge-weight column on --edges "
+                    "(weights must be positive; only meaningful with "
+                    "--edges, since corpus derivation emits unweighted "
+                    "src/dst)")
     ap.add_argument("--source", type=int, default=0, help="sssp source vertex")
     ap.add_argument("--sources", default=None,
                     help="ppr teleport set: comma-separated vertex ids")
@@ -119,7 +124,20 @@ def main() -> None:
         ap.error("need --edges or --corpus")
         return
 
-    g = Graph.prepare(edges)
+    if args.weight_col:
+        # Graph.prepare canonicalizes to (src, dst) — build directly so
+        # the weight column survives (the weighted algorithms' contract)
+        from linkgraph.graph import vertices_of
+
+        wedges = edges.select("src", "dst", args.weight_col)
+        verts = vertices_of(wedges)
+        verts.persist()
+        g = Graph(
+            edges=wedges.persist(), vertices=verts,
+            num_vertices=verts.count(), num_edges=wedges.count(),
+        )
+    else:
+        g = Graph.prepare(edges)
     summary: dict = {
         "algo": args.algo,
         "run_id": args.run_id,
@@ -133,6 +151,7 @@ def main() -> None:
         state, info = pagerank(
             g, tol=args.tol, max_supersteps=args.max_supersteps,
             dangling=args.dangling, checkpointer=ck,
+            weight_col=args.weight_col,
         )
     elif args.algo == "ppr":
         from linkgraph.algorithms import personalized_pagerank
@@ -156,7 +175,10 @@ def main() -> None:
     elif args.algo == "sssp":
         from linkgraph.algorithms import sssp
 
-        state, info = sssp(g, source=args.source, max_supersteps=args.max_supersteps)
+        state, info = sssp(
+            g, source=args.source, max_supersteps=args.max_supersteps,
+            weight_col=args.weight_col,
+        )
     elif args.algo == "matching":
         from linkgraph.algorithms import bipartite_matching
 
