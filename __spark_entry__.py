@@ -777,7 +777,7 @@ def q_pagerank_weighted(spark, sf_dir):  # C1 variant: weight-proportional
     # weight = co-purchase multiplicity (lineitem count per pair); rank
     # distributes proportionally to edge weight instead of uniformly
     from linkgraph.algorithms import pagerank
-    from linkgraph.graph import Graph, vertices_of
+    from linkgraph.graph import Graph
 
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
     o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
@@ -789,11 +789,8 @@ def q_pagerank_weighted(spark, sf_dir):  # C1 variant: weight-proportional
         )
         .agg(F.count(F.lit(1)).cast("double").alias("w"))
     )
-    verts = vertices_of(edges)
-    g = Graph(
-        edges=edges, vertices=verts,
-        num_vertices=verts.count(), num_edges=0,
-    )
+    # weight_cols: the weight column survives canonicalization (r4)
+    g = Graph.prepare(edges, weight_cols=["w"])
     state, _ = pagerank(g, tol=0.0, max_supersteps=PR_K, weight_col="w")
     return (
         state.select("id", F.round("rank", 6).alias("pr"))

@@ -186,11 +186,11 @@ def pagerank(
 ) -> tuple[DataFrame, RunInfo]:
     """Returns (state(id, rank), RunInfo). float64 end-to-end (§A.6).
 
-    weight_col: optional POSITIVE edge-weight column on graph.edges
-    (note Graph.prepare's canonicalize projects extra columns away —
-    construct the Graph directly for weighted runs, as sssp does);
-    each vertex then distributes rank proportionally to edge weight
-    (contrib = rank * w / Σ out-weights) instead of uniformly.
+    weight_col: optional POSITIVE edge-weight column on graph.edges —
+    build the graph with `Graph.prepare(edges, weight_cols=[...])` so
+    the column survives canonicalization; each vertex then distributes
+    rank proportionally to edge weight (contrib = rank * w / Σ
+    out-weights) instead of uniformly.
 
     PageRank does NOT accept mid-compute topology mutations: 1/N and
     (1-d)/N are frozen at start, so a changed vertex set would silently
@@ -201,11 +201,19 @@ def pagerank(
     if n == 0:
         raise ValueError("pagerank on an empty graph (num_vertices == 0)")
     if weight_col is not None:
-        bad = graph.edges.filter(F.col(weight_col) <= 0).count()
+        # NULLs must be caught explicitly: `w <= 0` is NULL for null
+        # rows, which filter() drops — a null weight would then make
+        # contrib null, F.sum would skip it, and rank mass would leak
+        # silently instead of erroring
+        bad = graph.edges.filter(
+            F.col(weight_col).isNull() | (F.col(weight_col) <= 0)
+        ).count()
         if bad:
             raise ValueError(
-                f"pagerank: {bad} edge(s) have non-positive {weight_col!r} — "
-                "weights must be > 0 (zero out-weight sums divide by zero)"
+                f"pagerank: {bad} edge(s) have NULL or non-positive "
+                f"{weight_col!r} — weights must be non-null and > 0 "
+                "(zero out-weight sums divide by zero; null contribs "
+                "leak rank mass)"
             )
 
     hot_ids = None

@@ -40,10 +40,16 @@ from linkgraph.graph import Graph
 from linkgraph.pregel import RunInfo, truncate_lineage
 
 
-def _min_fixpoint(edges: DataFrame, labels: DataFrame, info: RunInfo) -> DataFrame:
+def _min_fixpoint(
+    edges: DataFrame, labels: DataFrame, info: RunInfo
+) -> tuple[DataFrame, int]:
     """labels(id, lab) -> fixpoint of lab(dst) = min(lab(dst), lab(src))
     over the given directed edges. One exchange per superstep; the
-    frontier (changed rows) is the only scatter source after step 1."""
+    frontier (changed rows) is the only scatter source after step 1.
+
+    Returns (labels, n_zero) where n_zero = #vertices with lab == 0 at
+    convergence, computed by the SAME final-barrier aggregate (no extra
+    action) — the backward phase's reach count rides it for free."""
     import time
 
     frontier = labels
@@ -66,12 +72,16 @@ def _min_fixpoint(edges: DataFrame, labels: DataFrame, info: RunInfo) -> DataFra
             )
         )
         new = truncate_lineage(new, eager=False)
-        active = new.agg(F.sum(F.col("changed").cast("long"))).first()[0] or 0
-        info.record(info.supersteps + 1, t0, active=int(active))
+        row = new.agg(
+            F.sum(F.col("changed").cast("long")).alias("act"),
+            F.sum((F.col("lab") == 0).cast("long")).alias("z"),
+        ).first()
+        active = int(row["act"] or 0)
+        info.record(info.supersteps + 1, t0, active=active)
         frontier = new.filter("changed").select("id", "lab")
         labels = new.select("id", "lab")
         if active == 0:
-            return labels
+            return labels, int(row["z"] or 0)
     raise RuntimeError("_min_fixpoint: did not converge (cycle in driver logic?)")
 
 
@@ -86,35 +96,61 @@ def scc(
     spark = edges.sparkSession
     p = int(spark.conf.get("spark.sql.shuffle.partitions"))
 
+    if graph.num_vertices == 0:
+        # empty graph: no outer round ever appends a part — return the
+        # (vacuously converged) empty assignment with the right schema
+        info.converged = True
+        return graph.vertices.select("id", F.col("id").alias("scc")), info
+
+    # driver-tracked remaining-vertex count: emptiness and per-round
+    # sizes are DERIVED from each round's single aggregate action
+    # (trim sum / backward-phase zero count), never probed with a
+    # separate isEmpty()/count() job
+    remaining_n = graph.num_vertices
     remaining = truncate_lineage(graph.vertices.repartition(p, "id"))
     done_parts: list[DataFrame] = []
     import time
 
     for _ in range(max_outer):
-        if remaining.isEmpty():
+        if remaining_n == 0:
             break
+        # lazy localCheckpoint: materialized by the trim aggregate below
+        # (one job), then reused by the filters and the coloring phase
         sub = truncate_lineage(
             edges.join(remaining.withColumnRenamed("id", "src"), "src", "left_semi")
             .join(remaining.withColumnRenamed("id", "dst"), "dst", "left_semi")
-            .repartition(p, "src")
+            .repartition(p, "src"),
+            eager=False,
         )
-        # ---- trim: no in-edge or no out-edge in `sub` => singleton SCC
+        # ---- trim: no in-edge or no out-edge in `sub` => singleton SCC.
+        # Marker left-joins instead of semi/anti pairs so ONE aggregate
+        # yields the trim count and the same materialized frame serves
+        # both the trimmed and the keep filters — 1 action per round.
         t0 = time.monotonic()
-        srcs = sub.select(F.col("src").alias("id")).distinct()
-        dsts = sub.select(F.col("dst").alias("id")).distinct()
-        keep = remaining.join(srcs, "id", "left_semi").join(dsts, "id", "left_semi")
-        trimmed = remaining.join(keep, "id", "left_anti")
-        n_trim = trimmed.count()
-        info.record(info.supersteps + 1, t0, active=int(n_trim))
+        srcs = sub.select(F.col("src").alias("id")).distinct().withColumn(
+            "_hs", F.lit(True)
+        )
+        dsts = sub.select(F.col("dst").alias("id")).distinct().withColumn(
+            "_hd", F.lit(True)
+        )
+        flags = truncate_lineage(
+            remaining.join(srcs, "id", "left").join(dsts, "id", "left"),
+            eager=False,
+        )
+        trim_cond = F.col("_hs").isNull() | F.col("_hd").isNull()
+        n_trim = int(
+            flags.agg(F.sum(trim_cond.cast("long")).alias("t")).first()["t"] or 0
+        )
+        info.record(info.supersteps + 1, t0, active=n_trim)
         if n_trim:
-            done_parts.append(
-                truncate_lineage(trimmed.select("id", F.col("id").alias("scc")))
-            )
-            remaining = truncate_lineage(keep)
+            trimmed = flags.filter(trim_cond)
+            done_parts.append(trimmed.select("id", F.col("id").alias("scc")))
+            remaining = flags.filter(~trim_cond).select("id")
+            remaining_n -= n_trim
             continue  # re-derive sub before coloring: trims cascade
 
         # ---- color: forward min-label within the remaining subgraph
-        colors = _min_fixpoint(
+        colors, _ = _min_fixpoint(
             sub, remaining.select("id", F.col("id").alias("lab")), info
         )
 
@@ -132,19 +168,23 @@ def scc(
             "id",
             F.when(F.col("id") == F.col("lab"), F.lit(0)).otherwise(F.lit(1)).cast("long").alias("lab"),
         )
-        reach = _min_fixpoint(same_color, init, info)
+        # n_zero from the fixpoint's final barrier = |reach set| — the
+        # removed-vertex count needs no extra count() job
+        reach, n_found = _min_fixpoint(same_color, init, info)
         found = (
             reach.filter("lab = 0")
             .select("id")
             .join(colors.withColumnRenamed("lab", "scc"), "id")
             .select("id", "scc")
         )
-        done_parts.append(truncate_lineage(found))
+        done_parts.append(truncate_lineage(found, eager=False))
         remaining = truncate_lineage(
-            remaining.join(found.select("id"), "id", "left_anti")
+            remaining.join(found.select("id"), "id", "left_anti"),
+            eager=False,
         )
+        remaining_n -= n_found
     else:
-        if not remaining.isEmpty():
+        if remaining_n:
             raise RuntimeError(
                 f"scc: not converged after {max_outer} outer rounds"
             )

@@ -76,6 +76,20 @@ def sssp(
     mutations=None,
 ) -> tuple[DataFrame, RunInfo]:
     """Returns (state(id, dist), RunInfo)."""
+    if weight_col is not None:
+        # explicit NULL check: `w < 0` is NULL for null rows and
+        # filter() drops them; a null weight would silently make its
+        # message null (F.min skips it), erasing the edge from the
+        # relaxation. Negative weights break the min-fixpoint
+        # formulation (no negative-cycle handling) — refuse both.
+        bad = graph.edges.filter(
+            F.col(weight_col).isNull() | (F.col(weight_col) < 0)
+        ).count()
+        if bad:
+            raise ValueError(
+                f"sssp: {bad} edge(s) have NULL or negative "
+                f"{weight_col!r} — weights must be non-null and >= 0"
+            )
     return pregel_run(
         graph,
         sssp_spec(source, weight_col),

@@ -156,15 +156,50 @@ class Graph:
     num_edges: int
 
     @staticmethod
-    def prepare(raw_edges: DataFrame, partitions: int | None = None) -> "Graph":
+    def prepare(
+        raw_edges: DataFrame,
+        partitions: int | None = None,
+        weight_cols: list[str] | None = None,
+    ) -> "Graph":
+        """Canonicalize + partition + persist the edge table.
+
+        weight_cols: named extra edge columns (weights etc.) to carry
+        THROUGH canonicalization — without it, canonicalize projects
+        edges down to (src, dst) and a weight a user just loaded is
+        silently stripped. Self-loops are still dropped; duplicate
+        (src, dst) rows resolve to the lexicographic-min weight tuple
+        (F.min over a struct) — the same deterministic rule the
+        topology-mutation path applies to conflicting added edges
+        (pregel.pregel_run), so prepared and mutated graphs agree.
+        """
         spark = raw_edges.sparkSession
         p = partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
-        edges = (
-            canonicalize(raw_edges)
-            .withColumn("src", F.col("src").cast("long"))
-            .withColumn("dst", F.col("dst").cast("long"))
-            .repartition(p, "src")
-        )
+        if weight_cols:
+            missing = [c for c in weight_cols if c not in raw_edges.columns]
+            if missing:
+                raise ValueError(
+                    f"Graph.prepare: weight_cols {missing} not in edge "
+                    f"columns {raw_edges.columns}"
+                )
+            edges = (
+                raw_edges.select(
+                    F.col("src").cast("long"),
+                    F.col("dst").cast("long"),
+                    *weight_cols,
+                )
+                .filter(F.col("src") != F.col("dst"))
+                .groupBy("src", "dst")
+                .agg(F.min(F.struct(*weight_cols)).alias("_e"))
+                .select("src", "dst", "_e.*")
+                .repartition(p, "src")
+            )
+        else:
+            edges = (
+                canonicalize(raw_edges)
+                .withColumn("src", F.col("src").cast("long"))
+                .withColumn("dst", F.col("dst").cast("long"))
+                .repartition(p, "src")
+            )
         edges.persist()
         verts = vertices_of(edges).repartition(p, "id")
         verts.persist()

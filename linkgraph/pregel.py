@@ -24,7 +24,16 @@ Built-in machinery the spec gets for free:
   changed column; only changed vertices scatter next superstep.
 - **Checkpoint/resume (B9/B10)**: durable snapshots every k supersteps
   via an injected CheckpointManager; resume short-circuits if the run
-  already converged (meta carries the flag).
+  already converged (meta carries the flag). Snapshots carry a
+  `_frontier` marker column so resume restores the EXACT frontier —
+  required for non-idempotent programs (k-core's decrement counting),
+  where re-scattering already-delivered messages would corrupt state.
+  A topology-mutating run additionally snapshots its current edge
+  table (paper §4.2: the checkpoint must capture the graph once it
+  diverged from the input); resume restores the mutated graph and
+  re-fires mutation callbacks only for supersteps after the snapshot
+  (callbacks must be deterministic in the superstep index — the same
+  requirement the paper places on compute()).
 - **Topology mutation (B14, paper §3.4)**: a `mutations(superstep)`
   callback may return (add_edges, remove_edges) DataFrames; they are
   resolved at the superstep BARRIER (BSP requires every superstep to
@@ -151,17 +160,6 @@ def pregel_run(
     """
     from linkgraph.graph import vertices_of
 
-    if mutations is not None and checkpointer is not None:
-        # Resume restores checkpointed STATE but restarts from the
-        # original edge set; mutation callbacks for already-executed
-        # supersteps would not be re-applied, silently diverging the
-        # graph. Refuse the combination rather than corrupt a run.
-        raise ValueError(
-            "mutations + checkpointer is unsupported: mutated edges are "
-            "not captured in checkpoints, so a resumed run would see "
-            "the pre-mutation graph"
-        )
-
     edges = graph.edges
     spark = edges.sparkSession
     p = partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
@@ -184,7 +182,10 @@ def pregel_run(
     # recorded converged must return without paying the prep job
     start_step = 0
     state = None
+    frontier = None
     resumed_aggs: dict = {}
+    mutated = False  # a mutation has been applied (possibly pre-resume)
+    edges_dirty = False  # edges changed since the last edge snapshot
     if checkpointer is not None:
         resumed = checkpointer.try_resume(spec.algo)
         if resumed is not None:
@@ -192,26 +193,49 @@ def pregel_run(
             if meta.get("converged"):
                 info.converged = True
                 info.supersteps = start_step
-                return state, info
+                return state.select("id", *spec.state_cols), info
             state = truncate_lineage(state.repartition(p, "id"))
+            ckpt_frame = state  # pre-projection: retains _frontier for finish
+            # restore the frontier exactly as the uninterrupted run had
+            # it (B10): snapshots carry a `_frontier` marker column when
+            # the spec has a frontier filter. Falling back to the full
+            # state is only safe for CONFLUENT specs (min/argmax); a
+            # non-idempotent program like k-core's decrement counting
+            # would re-scatter messages already delivered before the
+            # checkpoint, corrupting the result.
+            if "_frontier" in state.columns:
+                frontier = state.filter("_frontier").select(
+                    "id", *spec.state_cols
+                )
+                state = state.select("id", *spec.state_cols)
             # restore the checkpointed aggregator values (paper §3.3):
             # the first post-resume step() must see superstep S's
             # aggregates exactly as an uninterrupted run would
             resumed_aggs = meta.get("aggregates") or {}
+            if meta.get("has_edges"):
+                # a topology mutation happened before the checkpoint:
+                # the snapshot's edge table IS the graph to resume on
+                # (callbacks for supersteps > start_step re-fire; ones
+                # already executed are baked into this edge snapshot)
+                edges = checkpointer.read_edges(spec.algo, start_step)
+                mutated = True
 
     links = build_links(edges)
     if state is None:
         state = truncate_lineage(
             spec.init_state(graph.vertices).repartition(p, "id")
         )
-    # superstep 0 / resume: every vertex is "changed" (confluent specs
-    # tolerate a too-large frontier at the cost of one superstep)
-    frontier = state
+    # superstep 0: every vertex is "changed" (confluent specs tolerate
+    # a too-large frontier at the cost of one superstep); resume uses
+    # the restored frontier when the snapshot carries one
+    if frontier is None:
+        frontier = state
+        ckpt_frame = state
 
     aggs: dict = resumed_aggs
     step_i = start_step
     converged = False
-    any_mutation = False
+    any_mutation = mutated  # an edge-snapshot resume counts as mutated
     while step_i < max_supersteps and not converged:
         t0 = time.monotonic()
         new_state = spec.step(links, state, frontier, aggs)
@@ -225,9 +249,17 @@ def pregel_run(
             frontier = new_state.filter(spec.frontier_filter).select(
                 "id", *spec.state_cols
             )
+            # snapshot view carrying the frontier marker: a resumed run
+            # restores exactly this frontier (see the resume path above)
+            ckpt_frame = new_state.select(
+                "id",
+                *spec.state_cols,
+                F.expr(spec.frontier_filter).cast("boolean").alias("_frontier"),
+            )
         state = new_state.select("id", *spec.state_cols)
         if spec.frontier_filter is None:
             frontier = state
+            ckpt_frame = state
         step_i += 1
         info.record(
             step_i,
@@ -236,23 +268,15 @@ def pregel_run(
             active=aggs.get("active"),
             aggregates=dict(aggs),
         )
-        if checkpointer is not None:
-            cp = checkpointer.maybe_checkpoint(
-                spec.algo,
-                step_i,
-                state,
-                delta=aggs.get("delta"),
-                active=aggs.get("active"),
-                aggregates=dict(aggs),
-            )
-            if cp is not None:
-                state = cp  # durable read-back replaces in-memory state
         if spec.halt(aggs):
             converged = True
 
         # the callback runs at EVERY barrier, including the one where
         # the run converges — a mutation scheduled for superstep K must
-        # not be silently skipped because the algorithm settled at K
+        # not be silently skipped because the algorithm settled at K.
+        # Mutations resolve BEFORE the checkpoint below so a snapshot
+        # at this barrier captures the post-mutation graph + state —
+        # resume then re-fires callbacks only for supersteps > this one
         if mutations is not None:
             mut = mutations(step_i)
             if mut is not None and step_i >= max_supersteps:
@@ -317,6 +341,43 @@ def pregel_run(
                 )
                 frontier = state  # reactivate everything at the barrier
                 converged = False  # a mutated graph must be re-settled
+                mutated = True
+                edges_dirty = True
+                if spec.frontier_filter is not None:
+                    ckpt_frame = state.select(
+                        "id",
+                        *spec.state_cols,
+                        F.lit(True).alias("_frontier"),
+                    )
+                else:
+                    ckpt_frame = state
+
+        if checkpointer is not None:
+            cp = checkpointer.maybe_checkpoint(
+                spec.algo,
+                step_i,
+                ckpt_frame,
+                delta=aggs.get("delta"),
+                active=aggs.get("active"),
+                aggregates=dict(aggs),
+                # write the mutated edge table alongside state (paper
+                # §4.2: the checkpoint must capture the graph once it
+                # diverged from the input); skipped while unchanged —
+                # resume reads the latest edge snapshot <= its superstep
+                edges=edges if edges_dirty else None,
+                mutated=mutated,
+            )
+            if cp is not None:
+                # durable read-back replaces in-memory state/frontier
+                edges_dirty = False
+                if "_frontier" in cp.columns:
+                    frontier = cp.filter("_frontier").select(
+                        "id", *spec.state_cols
+                    )
+                    state = cp.select("id", *spec.state_cols)
+                else:
+                    state = cp
+                    frontier = state
 
     info.converged = converged
     info.supersteps = step_i
@@ -332,7 +393,12 @@ def pregel_run(
         )
     links.unpersist()
     if checkpointer is not None:
+        # carry the frontier marker in the final snapshot too: resuming
+        # an unconverged max_supersteps run must not re-widen the
+        # frontier (non-idempotent specs — see the resume path)
         checkpointer.finish(
-            spec.algo, step_i, state, converged=converged, aggregates=dict(aggs)
+            spec.algo, step_i, ckpt_frame, converged=converged,
+            aggregates=dict(aggs),
+            edges=edges if edges_dirty else None, mutated=mutated,
         )
     return state, info

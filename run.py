@@ -125,17 +125,14 @@ def main() -> None:
         return
 
     if args.weight_col:
-        # Graph.prepare canonicalizes to (src, dst) — build directly so
-        # the weight column survives (the weighted algorithms' contract)
-        from linkgraph.graph import vertices_of
-
-        wedges = edges.select("src", "dst", args.weight_col)
-        verts = vertices_of(wedges)
-        verts.persist()
-        g = Graph(
-            edges=wedges.persist(), vertices=verts,
-            num_vertices=verts.count(), num_edges=wedges.count(),
-        )
+        if args.algo not in ("pagerank", "sssp"):
+            ap.error(
+                f"--weight-col is only meaningful for pagerank and sssp; "
+                f"--algo {args.algo} would silently ignore it"
+            )
+        # weight-preserving canonicalization: self-loops dropped,
+        # duplicate (src,dst) resolved to the min weight deterministically
+        g = Graph.prepare(edges, weight_cols=[args.weight_col])
     else:
         g = Graph.prepare(edges)
     summary: dict = {

@@ -144,21 +144,56 @@ def test_mutation_remove_edge_stops_propagation(spark, graph_builder):
     assert got[3] == float("inf") and got[4] == float("inf")
 
 
-def test_mutations_with_checkpointer_rejected(spark, graph_builder, tmp_path):
-    """Mutated edges are not captured in checkpoints, so a resumed run
-    would silently see the pre-mutation graph — the driver refuses the
-    combination up front."""
-    import pytest
-
+def test_mutations_with_checkpointer_resume_equals_uninterrupted(
+    spark, graph_builder, tmp_path
+):
+    """B9+B14 composition (r4): checkpoints of a topology-mutating run
+    snapshot the CURRENT edge table alongside state; a run killed after
+    the mutation resumes on the mutated graph (not the input graph) and
+    converges to exactly the uninterrupted result. The mutation fires at
+    superstep 1, the checkpoint cadence hits at superstep 2, the run is
+    killed at 3 — resume must NOT re-fire the superstep-1 callback (its
+    effect is baked into the restored edge snapshot)."""
     from linkgraph.catalog import ParquetManifestCatalog
     from linkgraph.checkpoint import CheckpointManager
 
-    g = graph_builder([(0, 1)])
-    ck = CheckpointManager(
-        ParquetManifestCatalog(spark, str(tmp_path / "wh")), run_id="x"
+    # two chains; the mutation bridges them and adds a brand-new vertex
+    edges = [(0, 1), (1, 2), (10, 11), (11, 12)]
+    g = graph_builder(edges)
+    bridge = spark.createDataFrame([(2, 10), (12, 20)], "src long, dst long")
+    fired: list[int] = []
+
+    def mutations(superstep):
+        fired.append(superstep)
+        return (bridge, None) if superstep == 1 else None
+
+    full_state, full_info = connected_components(g, mutations=mutations)
+    want = {r["id"]: r["comp"] for r in full_state.collect()}
+    assert want == {i: 0 for i in want} and 20 in want
+
+    cat = ParquetManifestCatalog(spark, str(tmp_path / "wh"))
+    ck = CheckpointManager(cat, run_id="mut1", every=2)
+    fired.clear()
+    connected_components(
+        g, max_supersteps=3, checkpointer=ck, mutations=mutations
     )
-    with pytest.raises(ValueError, match="mutations"):
-        connected_components(g, checkpointer=ck, mutations=lambda s: None)
+    assert 1 in fired  # mutation applied before the "crash"
+
+    ck2 = CheckpointManager(cat, run_id="mut1", every=2)
+    resumed = ck2.try_resume("components")
+    assert resumed is not None and resumed[2].get("has_edges")
+    # the restored edge table is the post-mutation graph
+    restored = ck2.read_edges("components", resumed[0])
+    got_edges = {(r["src"], r["dst"]) for r in restored.collect()}
+    assert (2, 10) in got_edges and (12, 20) in got_edges
+
+    fired.clear()
+    state_b, info_b = connected_components(
+        g, checkpointer=ck2, mutations=mutations
+    )
+    got = {r["id"]: r["comp"] for r in state_b.collect()}
+    assert got == want
+    assert 1 not in fired  # superstep-1 callback not re-fired on resume
 
 
 def test_mutation_preserves_weights_and_isolated_vertices(spark):
@@ -209,6 +244,102 @@ def test_redistribute_mode_no_extra_actions_per_superstep(spark, graph_builder):
     r8 = jobs("redistribute", 8, "pr_r8")
     sc.setLocalProperty("spark.jobGroup.id", None)
     assert (r8 - r4) == (d8 - d4)
+
+
+def test_scc_trim_rounds_cost_one_action_each(spark, graph_builder, monkeypatch):
+    """VERDICT r3 #6: scc's trim phase must derive the trim count AND
+    subgraph emptiness from ONE driver action per outer round — no
+    separate isEmpty()/count() probes. (Job counts can't assert this:
+    AQE splits one action into several stage-materialization jobs, so
+    we count the driver-side action calls directly.) A DAG chain of 8
+    is pure trim cascade: 4 rounds of pairwise endpoint peeling → 4
+    first() barriers, zero count()/isEmpty() calls."""
+    # patch the concrete class: pyspark 4's public DataFrame is an
+    # abstract base the classic session subclasses with overrides
+    from pyspark.sql.classic.dataframe import DataFrame
+
+    from linkgraph.algorithms import scc
+
+    calls = {"first": 0, "count": 0, "isEmpty": 0}
+    real_first, real_count, real_empty = (
+        DataFrame.first, DataFrame.count, DataFrame.isEmpty,
+    )
+    monkeypatch.setattr(
+        DataFrame, "first",
+        lambda self: (calls.__setitem__("first", calls["first"] + 1), real_first(self))[1],
+    )
+    monkeypatch.setattr(
+        DataFrame, "count",
+        lambda self: (calls.__setitem__("count", calls["count"] + 1), real_count(self))[1],
+    )
+    monkeypatch.setattr(
+        DataFrame, "isEmpty",
+        lambda self: (calls.__setitem__("isEmpty", calls["isEmpty"] + 1), real_empty(self))[1],
+    )
+    g = graph_builder([(i, i + 1) for i in range(7)])  # chain of 8
+    calls.update(first=0, count=0, isEmpty=0)
+    scc(g)
+    assert calls == {"first": 4, "count": 0, "isEmpty": 0}
+
+
+def test_graph_prepare_weight_cols(spark):
+    """VERDICT r3 #2: Graph.prepare(weight_cols=[...]) carries the
+    weight through canonicalization — self-loops dropped, duplicate
+    (src,dst) resolved to the min weight tuple deterministically (the
+    same rule the mutation path applies to conflicting added edges)."""
+    import pytest
+
+    from linkgraph.graph import Graph
+
+    edf = spark.createDataFrame(
+        [(0, 1, 5.0), (0, 1, 2.0), (2, 2, 9.0), (1, 2, 3.0)],
+        "src long, dst long, w double",
+    )
+    g = Graph.prepare(edf, weight_cols=["w"])
+    got = {(r["src"], r["dst"]): r["w"] for r in g.edges.collect()}
+    assert got == {(0, 1): 2.0, (1, 2): 3.0}  # no self-loop, min weight
+    assert g.num_edges == 2 and g.num_vertices == 3
+
+    with pytest.raises(ValueError, match="weight_cols"):
+        Graph.prepare(edf.select("src", "dst"), weight_cols=["w"])
+    g.unpersist()
+
+
+def test_weighted_pagerank_null_weight_rejected(spark):
+    """ADVICE r3 (medium): a NULL weight must raise, not silently leak
+    rank mass (w <= 0 is NULL for null rows, which filter() drops)."""
+    import pytest
+
+    from linkgraph.algorithms import pagerank
+    from linkgraph.graph import Graph, vertices_of
+
+    edf = spark.createDataFrame(
+        [(0, 1, 1.0), (1, 2, None)], "src long, dst long, w double"
+    )
+    verts = vertices_of(edf)
+    g = Graph(edges=edf, vertices=verts, num_vertices=verts.count(), num_edges=2)
+    with pytest.raises(ValueError, match="NULL"):
+        pagerank(g, weight_col="w")
+
+    from linkgraph.algorithms import sssp
+
+    with pytest.raises(ValueError, match="NULL"):
+        sssp(g, source=0, weight_col="w")
+
+
+def test_scc_empty_graph(spark):
+    """ADVICE r3: scc() on an empty vertex set must return an empty
+    (id, scc) frame instead of raising IndexError."""
+    from linkgraph.algorithms import scc
+    from linkgraph.graph import Graph
+
+    edges = spark.createDataFrame([], "src long, dst long")
+    verts = spark.createDataFrame([], "id long")
+    g = Graph(edges=edges, vertices=verts, num_vertices=0, num_edges=0)
+    state, info = scc(g)
+    assert state.columns == ["id", "scc"]
+    assert state.count() == 0
+    assert info.converged
 
 
 def test_mutation_at_convergence_barrier_reactivates(spark, graph_builder):

@@ -139,6 +139,41 @@ def test_pagerank_redistribute_resume_restores_aggregates(spark, catalog, graph_
     assert info_b.supersteps == full_info.supersteps
 
 
+def test_kcore_resume_equals_uninterrupted(spark, catalog, graph_builder):
+    """k-core's decrement messages are NOT idempotent: resuming with a
+    too-wide frontier (the old full-state reseed) re-scatters decrements
+    from every previously-dead vertex, peeling valid core members and
+    driving deg negative. The snapshot's `_frontier` marker restores the
+    exact dying wave, so resumed == uninterrupted, exactly."""
+    from linkgraph.algorithms import kcore
+
+    # chain 0..9 feeding into a 5-clique (100..104): with k=2 the chain
+    # peels one vertex per wave (many supersteps), the clique survives —
+    # checkpoints land mid-peeling
+    chain = [(i, i + 1) for i in range(9)]
+    attach = [(9, 100)]
+    clique = [
+        (a, b) for a in range(100, 105) for b in range(100, 105) if a < b
+    ]
+    g = graph_builder(chain + attach + clique)
+
+    full_state, full_info = kcore(g, k=2)
+    want = {
+        r["id"]: (r["alive"], r["deg"]) for r in full_state.collect()
+    }
+    assert {i for i, (a, _) in want.items() if a} == set(range(100, 105))
+    assert all(d >= 0 for _, d in want.values())
+
+    ck = CheckpointManager(catalog, run_id="kc1", every=2)
+    _, info_a = kcore(g, k=2, max_supersteps=5, checkpointer=ck)
+    assert info_a.supersteps == 5
+    ck2 = CheckpointManager(catalog, run_id="kc1", every=2)
+    state_b, info_b = kcore(g, k=2, checkpointer=ck2)
+    got = {r["id"]: (r["alive"], r["deg"]) for r in state_b.collect()}
+    assert got == want
+    assert info_b.supersteps == full_info.supersteps
+
+
 def test_semiclustering_resume_with_nested_state(spark, catalog, graph_builder):
     """Checkpoint/resume with NESTED array-of-struct state: the
     semi-clustering cluster lists must survive the snapshot write +
