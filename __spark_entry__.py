@@ -2,9 +2,11 @@
 
 Each ``queries()`` entry exercises operators from SURVEY.md §2 (tagged
 in comments); ``oracle_sql()`` gives the DuckDB-equivalent ANSI SQL.
-Iterative fixpoints (full PageRank / LPA) and xxhash-based operators
-(MinHash-LSH) have no DuckDB equivalent → rows-only entries; their
-correctness is carried by tests/ (golden fixtures + NumPy oracles).
+EVERY entry carries an oracle — iterative fixpoints run as fixed-K
+unrolled or recursive CTEs, and hash-based operators (MinHash-LSH,
+RP-LSH, SimHash) use the portable md5-prefix hash mode so signatures
+are integer-exact cross-engine. tests/ add golden fixtures + NumPy /
+networkx property oracles on top.
 
 Column-name/type discipline: every computed column is aliased
 identically on both sides; float aggregates are rounded (6–9 dp) so
@@ -742,6 +744,43 @@ def _jaccard_oracle_sql(
     )
 
 
+def _dedup_survivors_oracle_sql(
+    k: int = 5, num_hashes: int = 16, bands: int = 4,
+    max_bucket_size: int = 10, threshold: float = 0.5,
+) -> str:
+    """Full dedup-closure oracle: the Jaccard pipeline CTEs, then
+    min-label connected components over the verified pair graph via a
+    recursive CTE (same normal form as components_min_label), then the
+    doc → exact-rep → component-min canonical chain."""
+    base = _jaccard_oracle_sql(
+        k=k, num_hashes=num_hashes, bands=bands,
+        max_bucket_size=max_bucket_size, threshold=threshold,
+    )
+    prefix = base.rsplit("SELECT id_a, id_b, round", 1)[0]
+    # the pair CTEs are recursion-free; WITH RECURSIVE just permits the
+    # components fixpoint CTE appended below
+    prefix = prefix.replace("WITH ", "WITH RECURSIVE ", 1)
+    return (
+        prefix
+        + f", vp AS (SELECT id_a, id_b FROM scored "
+        f"WHERE j >= CAST({threshold} AS DOUBLE)), "
+        "und AS (SELECT id_a AS src, id_b AS dst FROM vp "
+        "UNION SELECT id_b, id_a FROM vp), "
+        "pv AS (SELECT DISTINCT src AS id FROM und), "
+        "r(id, lab) AS ("
+        "  SELECT id, id FROM pv "
+        "  UNION "
+        "  SELECT u.dst, r.lab FROM r JOIN und u ON u.src = r.id), "
+        "comp AS (SELECT id, min(lab) AS c FROM r GROUP BY id), "
+        "grp AS (SELECT sha256(text) AS h, min(doc_id) AS rep "
+        "FROM documents GROUP BY 1), "
+        "docrep AS (SELECT d.doc_id, g.rep FROM documents d "
+        "JOIN grp g ON sha256(d.text) = g.h) "
+        "SELECT dr.doc_id, CAST(coalesce(c.c, dr.rep) AS BIGINT) "
+        "AS canonical_id FROM docrep dr LEFT JOIN comp c ON dr.rep = c.id"
+    )
+
+
 def _simhash_oracle_sql(nbits: int = 64) -> str:
     """Per-doc SimHash popcount in SQL: portable token hash, one
     +1/-1 vote aggregate per bit, sign → bit, sum of bits."""
@@ -1008,6 +1047,22 @@ def _ivf_entry_dir(sf_dir: str) -> str:
     return _IVF_ENTRY_DIRS[sf_dir]
 
 
+def q_dedup_survivors(spark, sf_dir):  # pipeline closure: doc -> canonical id
+    # the END of the near-dup pipeline: exact dedup → capped LSH →
+    # Jaccard >= 0.5 → Pregel connected components over the verified
+    # pair graph → min-id canonical per cluster. Returns the full
+    # assignment (every doc -> its canonical id); survivors are the
+    # rows with doc_id == canonical_id. The oracle rebuilds the whole
+    # chain in SQL: portable-hash LSH + recursive-CTE components.
+    from linkgraph.pipeline.dedup import dedup_assignments
+
+    d = _t(spark, sf_dir, "documents")
+    return dedup_assignments(
+        d, k=5, num_hashes=16, bands=4, max_bucket_size=10,
+        threshold=0.5, hash_mode="portable",
+    )
+
+
 def q_ann_ivf(spark, sf_dir):  # pipeline: IVF-bucketed approximate NN
     # THE production path end-to-end: build → ivf_write (partitionBy
     # bucket) → ivf_topk_stored, whose bucket filter prunes at the file
@@ -1099,7 +1154,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id_confusion": q_lang_id_confusion,
         "knn_cosine": q_knn_cosine,
         "embedding_neardup": q_embedding_neardup,
-        # rows-only (non-SQL-expressible)
+        # iterative / hash-pipeline entries — ALL carry real oracles
+        # too (fixed-K unrolled CTEs, recursive CTEs, md5-portable
+        # hashes); no rows-only entries remain as of r3
         "pagerank_copurchase": q_pagerank_copurchase,
         "pagerank_redistribute": q_pagerank_redistribute,
         "pagerank_weighted": q_pagerank_weighted,
@@ -1113,6 +1170,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_candidates": q_minhash_lsh_candidates,
         "near_dup_pipeline": q_near_dup_pipeline,
         "jaccard_verified_pairs": q_jaccard_verified_pairs,
+        "dedup_survivors": q_dedup_survivors,
         "ann_ivf": q_ann_ivf,
         "simhash_sample": q_simhash_sample,
         "doc_tfidf_top_terms": q_doc_tfidf_top_terms,
@@ -1364,6 +1422,7 @@ def oracle_sql() -> dict[str, str]:
             dedup_first=True, max_bucket_size=10
         ),
         "jaccard_verified_pairs": _jaccard_oracle_sql(),
+        "dedup_survivors": _dedup_survivors_oracle_sql(),
         "simhash_sample": _simhash_oracle_sql(),
         "doc_tfidf_top_terms": (
             "WITH tok AS (SELECT doc_id, t.term FROM documents, "

@@ -322,8 +322,18 @@ def dedup_stress(cpus: int) -> dict:
         n_cand = pairs.count()
         t_cand = time.monotonic() - t0
         t1 = time.monotonic()
-        n_verified = ngram_jaccard_pairs(sh, pairs, threshold=0.8).count()
+        verified = ngram_jaccard_pairs(sh, pairs, threshold=0.8).localCheckpoint()
+        n_verified = verified.count()
         t_verify = time.monotonic() - t1
+        # closure (r4): Pregel connected components over the verified
+        # pair graph -> clusters; survivors = kept - clustered + clusters
+        from linkgraph.pipeline.dedup import near_dup_components
+
+        t2 = time.monotonic()
+        comp = near_dup_components(verified).localCheckpoint()
+        n_clustered = comp.count()
+        n_clusters = comp.select("comp").distinct().count()
+        t_closure = time.monotonic() - t2
         return {
             "metric": "dedup_stress",
             "docs": 25000,
@@ -332,6 +342,9 @@ def dedup_stress(cpus: int) -> dict:
             "candidates_sec": round(t_cand, 3),
             "verified_ge_0.8": n_verified,
             "verify_sec": round(t_verify, 3),
+            "clustered_docs": n_clustered,
+            "clusters": n_clusters,
+            "closure_sec": round(t_closure, 3),
             "cpus": cpus,
         }
     finally:

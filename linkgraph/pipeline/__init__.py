@@ -16,6 +16,9 @@ from linkgraph.pipeline.dedup import (
     minhash_signatures,
     lsh_candidate_pairs,
     ngram_jaccard_pairs,
+    near_dup_components,
+    dedup_assignments,
+    dedup_near,
     simhash_bits,
 )
 from linkgraph.pipeline.similarity import cosine_topk, ivf_build, ivf_topk
@@ -34,6 +37,9 @@ __all__ = [
     "minhash_signatures",
     "lsh_candidate_pairs",
     "ngram_jaccard_pairs",
+    "near_dup_components",
+    "dedup_assignments",
+    "dedup_near",
     "simhash_bits",
     "cosine_topk",
     "ivf_build",

@@ -304,6 +304,105 @@ def near_dup_candidates(
     )
 
 
+def near_dup_components(verified_pairs: DataFrame) -> DataFrame:
+    """(id, comp) over the verified near-dup pair graph, comp = min doc
+    id of the connected component — computed by the engine's Pregel
+    connected-components driver (the flagship C2 algorithm running
+    INSIDE the pipeline surface). The pair graph is the post-verify
+    set, bounded by the LSH cap — orders of magnitude smaller than the
+    corpus, so the fixpoint is cheap even when the corpus is 100 TB."""
+    from linkgraph.algorithms import connected_components
+    from linkgraph.graph import Graph
+
+    g = Graph.prepare(
+        verified_pairs.select(
+            F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+        )
+    )
+    if g.num_vertices == 0:
+        g.unpersist()
+        return verified_pairs.sparkSession.createDataFrame([], "id long, comp long")
+    state, _ = connected_components(g)
+    g.unpersist()
+    return state
+
+
+def dedup_assignments(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    num_hashes: int = 16,
+    bands: int = 4,
+    max_bucket_size: int | None = 1000,
+    threshold: float = 0.5,
+    hash_mode: str = "xxhash64",
+) -> DataFrame:
+    """The end-to-end dedup closure: (id_col, canonical_id) for EVERY
+    input doc. canonical_id is deterministic (min doc id twice over):
+
+        doc --exact--> rep   (min id per byte-identical sha256 group)
+        rep --near---> comp  (min id of its verified near-dup component)
+
+    Stages (each one the scale-safe operator already in this module):
+    exact dedup → shingle → MinHash → capped LSH → candidate-driven
+    Jaccard >= threshold → Pregel connected components over the pair
+    graph → min-id canonical per component. A doc is a survivor iff
+    doc_id == canonical_id; `dedup_near` applies that filter.
+
+    Scale shape: the only corpus-sized shuffles are the sha256 hash-agg
+    and the shingle pipeline LSH already pays; the component fixpoint
+    and the final mapping joins run on the pair graph / rep table,
+    both bounded by the capped candidate set.
+    """
+    sha = F.sha2(F.col(text_col), 256)
+    groups = df.groupBy(sha.alias("h")).agg(F.min(F.col(id_col)).alias("rep"))
+    doc_rep = (
+        df.select(F.col(id_col), sha.alias("h"))
+        .join(groups, "h")
+        .select(id_col, "rep")
+    )
+    kept = df.join(
+        groups.select(F.col("rep").alias(id_col)), id_col, "left_semi"
+    )
+    sh = shingles(kept, id_col=id_col, text_col=text_col, k=k)
+    sig = minhash_signatures(sh, num_hashes=num_hashes, hash_mode=hash_mode)
+    pairs = lsh_candidate_pairs(
+        sig,
+        bands=bands,
+        hash_mode=hash_mode,
+        max_bucket_size=max_bucket_size,
+        num_hashes=num_hashes,
+    )
+    verified = ngram_jaccard_pairs(sh, pairs, threshold=threshold)
+    comp = near_dup_components(verified)
+    return (
+        doc_rep.join(comp.withColumnRenamed("id", "rep"), "rep", "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("comp"), F.col("rep")).alias("canonical_id"),
+        )
+    )
+
+
+def dedup_near(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    **kwargs,
+) -> DataFrame:
+    """The deduplicated corpus: rows of `df` whose doc is the canonical
+    representative of its exact+near-dup cluster (doc_id ==
+    canonical_id under `dedup_assignments`). This is the operator a
+    training-data pipeline actually ships — candidates and verified
+    pairs are intermediates."""
+    assign = dedup_assignments(df, id_col=id_col, text_col=text_col, **kwargs)
+    survivors = assign.filter(
+        F.col(id_col) == F.col("canonical_id")
+    ).select(id_col)
+    return df.join(survivors, id_col, "left_semi")
+
+
 def simhash_bits(
     df: DataFrame,
     id_col: str = "doc_id",
