@@ -351,6 +351,43 @@ def dedup_stress(cpus: int) -> dict:
         spark.stop()
 
 
+def scc_stress(cpus: int) -> dict:
+    """SCC on a dense cyclic directed graph (BENCH §2c, r4): the driver
+    oracle runs the sparsified bipartite co-purchase graph, which the
+    trim phase disposes of without ever coloring — this stress forces
+    the FW-BW coloring path. Uniform random directed graph (avg degree
+    10) has a giant SCC plus a periphery: trims cascade, then one big
+    color/backward round."""
+    from linkgraph.algorithms import scc
+    from linkgraph.graph import Graph
+    from pyspark.sql import functions as F
+
+    spark = _session(cpus)
+    try:
+        V, E = 200_000, 2_000_000
+        edges = spark.range(0, E).select(
+            F.pmod(F.xxhash64(F.col("id")), F.lit(V)).alias("src"),
+            F.pmod(F.xxhash64(F.col("id") + F.lit(10**9)), F.lit(V)).alias("dst"),
+        )
+        g = Graph.prepare(edges)
+        g.edges.count()
+        t0 = time.monotonic()
+        state, info = scc(g)
+        n_scc = state.select("scc").distinct().count()
+        wall = time.monotonic() - t0
+        return {
+            "metric": "scc_stress",
+            "vertices": g.num_vertices,
+            "edges": g.num_edges,
+            "sccs": n_scc,
+            "barriers": info.supersteps,
+            "wall_s": round(wall, 3),
+            "cpus": cpus,
+        }
+    finally:
+        spark.stop()
+
+
 def ivf_bench(cpus: int, sf_dir: str, n_centroids: int = 256) -> dict:
     """Production-shape IVF check: C=256 build (broadcast-matrix kernel
     assignment + Lloyd) over the real embeddings table, written
@@ -398,6 +435,9 @@ def main() -> None:
         return
     if "--dedup-stress" in sys.argv:
         print(json.dumps(dedup_stress(cpus)))
+        return
+    if "--scc-stress" in sys.argv:
+        print(json.dumps(scc_stress(cpus)))
         return
     if "--throughput" in sys.argv:
         i = sys.argv.index("--throughput")

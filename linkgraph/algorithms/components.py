@@ -25,7 +25,16 @@ from linkgraph.graph import Graph, symmetrize
 from linkgraph.pregel import PregelSpec, RunInfo, pregel_run
 
 
-def components_spec() -> PregelSpec:
+def components_spec(estimate_components: bool = False) -> PregelSpec:
+    """estimate_components adds a user-defined global aggregator (B7,
+    paper §3.3) on a non-toy metric: `n_components_est`, a HyperLogLog
+    estimate (approx_count_distinct) of the DISTINCT labels remaining
+    after each superstep. It rides the same barrier job as the halt
+    metric — zero extra actions — and gives live convergence telemetry
+    a driver can stream out of RunInfo.log: the estimate starts at ~|V|
+    and decays to the true component count. rsd 2% ≈ 1.5 KB of sketch
+    per partition, constant in |V|."""
+
     def step(links, state, frontier, aggs):
         msgs = links.join(frontier.withColumnRenamed("id", "src"), "src").select(
             "dst", F.col("comp").alias("msg"), F.lit(None).cast("long").alias("old")
@@ -46,20 +55,27 @@ def components_spec() -> PregelSpec:
             )
         )
 
+    metrics = {"active": F.sum(F.col("changed").cast("long"))}
+    if estimate_components:
+        metrics["n_components_est"] = F.approx_count_distinct("comp", rsd=0.02)
     return PregelSpec(
         algo="components",
         state_cols=("comp",),
         init_state=lambda verts: verts.select("id", F.col("id").alias("comp")),
         prepare_links=symmetrize,
         step=step,
-        metrics={"active": F.sum(F.col("changed").cast("long"))},
+        metrics=metrics,
         halt=lambda a: int(a.get("active") or 0) == 0,
         frontier_filter="changed",
     )
 
 
 def connected_components(
-    graph: Graph, max_supersteps: int = 200, checkpointer=None, mutations=None
+    graph: Graph,
+    max_supersteps: int = 200,
+    checkpointer=None,
+    mutations=None,
+    estimate_components: bool = False,
 ) -> tuple[DataFrame, RunInfo]:
     """Returns (state(id, comp), RunInfo). comp = min vertex id reachable.
 
@@ -68,10 +84,15 @@ def connected_components(
     mid-compute growth converges to the final graph's components;
     removals only stop future message flow (monotone state is not
     retracted).
+
+    estimate_components: record a per-superstep HyperLogLog estimate of
+    the remaining distinct labels in RunInfo.log[i].aggregates
+    ["n_components_est"] — the final entry approximates the component
+    count without a separate distinct() job (see components_spec).
     """
     return pregel_run(
         graph,
-        components_spec(),
+        components_spec(estimate_components=estimate_components),
         max_supersteps=max_supersteps,
         checkpointer=checkpointer,
         mutations=mutations,

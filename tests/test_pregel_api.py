@@ -282,6 +282,23 @@ def test_scc_trim_rounds_cost_one_action_each(spark, graph_builder, monkeypatch)
     assert calls == {"first": 4, "count": 0, "isEmpty": 0}
 
 
+def test_components_estimate_aggregator(spark, graph_builder):
+    """B7 demo on a non-toy metric: approx_count_distinct(comp) rides
+    the barrier as a user aggregator — the per-superstep estimate decays
+    from ~|V| to the true component count, with zero extra actions."""
+    # 8 disjoint chains of 6 vertices -> exactly 8 components
+    edges = [
+        (c * 10 + i, c * 10 + i + 1) for c in range(8) for i in range(5)
+    ]
+    g = graph_builder(edges)
+    state, info = connected_components(g, estimate_components=True)
+    series = [s.aggregates["n_components_est"] for s in info.log]
+    # HLL at this cardinality is effectively exact; allow slack anyway
+    assert abs(series[-1] - 8) <= 1
+    assert series[0] >= series[-1]  # estimate decays as labels merge
+    assert state.select("comp").distinct().count() == 8
+
+
 def test_graph_prepare_weight_cols(spark):
     """VERDICT r3 #2: Graph.prepare(weight_cols=[...]) carries the
     weight through canonicalization — self-loops dropped, duplicate
