@@ -37,6 +37,48 @@ def make_zip(path: str) -> None:
     print(f"wrote {path}")
 
 
+def run_pipeline(ap, args) -> None:
+    """--pipeline entry: the training-data dedup closure from the CLI.
+
+    dedup: exact + near dedup -> the surviving documents table.
+    dedup-assign: (doc_id, canonical_id) for every doc (audit form).
+    """
+    if not args.documents:
+        ap.error("--pipeline requires --documents <parquet-dir>")
+    from linkgraph.catalog import get_catalog
+    from linkgraph.pipeline.dedup import dedup_assignments, dedup_near
+    from linkgraph.session import get_spark
+
+    spark = get_spark(app=f"linkgraph-{args.pipeline}", master=args.master,
+                      partitions=args.partitions)
+    catalog = get_catalog(spark, args.warehouse)
+    t0 = time.monotonic()
+    docs = spark.read.parquet(args.documents)
+    knobs = dict(
+        k=args.shingle_k, num_hashes=args.num_hashes, bands=args.bands,
+        max_bucket_size=args.bucket_cap, threshold=args.dedup_threshold,
+    )
+    n_in = docs.count()
+    if args.pipeline == "dedup":
+        out = dedup_near(docs, **knobs)
+    else:
+        out = dedup_assignments(docs, **knobs)
+    if args.out:
+        catalog.write_snapshot(args.out, out, meta={"run_id": args.run_id})
+        n_out = catalog.read_snapshot(args.out).count()
+    else:
+        n_out = out.count()
+    print(json.dumps({
+        "pipeline": args.pipeline,
+        "run_id": args.run_id,
+        "docs_in": n_in,
+        "rows_out": n_out,
+        "wall_s": round(time.monotonic() - t0, 3),
+        **knobs,
+    }))
+    spark.stop()
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--make-zip")
@@ -76,13 +118,31 @@ def main() -> None:
                     help="semicluster: clusters kept per vertex")
     ap.add_argument("--m-max", type=int, default=4,
                     help="semicluster: max members per cluster")
+    ap.add_argument("--pipeline", choices=["dedup", "dedup-assign"],
+                    help="run a training-data pipeline op instead of a "
+                    "graph algorithm: dedup = write the deduplicated "
+                    "documents table (exact + near); dedup-assign = "
+                    "write the full (doc_id, canonical_id) assignment")
+    ap.add_argument("--documents", help="documents parquet dir "
+                    "(doc_id, text, ...) for --pipeline")
+    ap.add_argument("--dedup-threshold", type=float, default=0.5,
+                    help="near-dup Jaccard threshold")
+    ap.add_argument("--shingle-k", type=int, default=5)
+    ap.add_argument("--num-hashes", type=int, default=16)
+    ap.add_argument("--bands", type=int, default=4)
+    ap.add_argument("--bucket-cap", type=int, default=1000,
+                    help="LSH bucket-size cap (oversized buckets are "
+                    "dropped from candidate generation, with a warning)")
     args = ap.parse_args()
 
     if args.make_zip:
         make_zip(args.make_zip)
         return
+    if args.pipeline:
+        run_pipeline(ap, args)
+        return
     if not args.algo:
-        ap.error("--algo is required (or --make-zip)")
+        ap.error("--algo is required (or --make-zip / --pipeline)")
 
     from linkgraph.session import get_spark
 
