@@ -193,6 +193,10 @@ def _cluster_session(executors: int, cores_per_executor: int = 8):
         .appName(f"bench-exec{executors}")
         .config("spark.cores.max", str(total))
         .config("spark.executor.cores", str(cores_per_executor))
+        # pin parallelism: defaultParallelism falls back to 2 when the
+        # session starts before the executor registers, which would give
+        # spark.range a 2-partition scan for the whole run
+        .config("spark.default.parallelism", str(total))
         .config("spark.executor.memory", os.environ.get("SPARK_GRAFT_EXEC_MEM", "18g"))
         .config("spark.sql.shuffle.partitions", str(max(8, total)))
         .config("spark.sql.adaptive.enabled", "true")

@@ -20,6 +20,12 @@ peeling sequence that is the difference between one pass and hundreds.
 
 Superstep count = number of peeling waves (graph-dependent, <= |V|);
 each wave is one barrier with the usual fused single-exchange plan.
+
+Checkpoint/resume: decrement messages are NOT idempotent, so resuming
+with a widened frontier would re-deliver them and corrupt degrees; the
+r4 pregel_run snapshots carry the exact frontier (`_frontier` marker)
+and restore it, making kcore + checkpointer safe — resumed ==
+uninterrupted, asserted in tests/test_resume.py.
 """
 
 from __future__ import annotations
