@@ -16,6 +16,10 @@ Scale design:
   distinct shingles, count intersection vs union).
 - SimHash: 64 weighted-bit sums per doc in a single aggregate pass
   (array of 64 sum() columns), no Python.
+- closure (r4): `dedup_assignments`/`dedup_near` — verified pairs →
+  Pregel connected components → min-id canonical per cluster → the
+  deduplicated corpus. The component fixpoint runs on the cap-bounded
+  pair graph, not the corpus.
 """
 
 from __future__ import annotations
