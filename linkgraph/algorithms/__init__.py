@@ -4,11 +4,12 @@ from linkgraph.algorithms.lpa import label_propagation
 from linkgraph.algorithms.triangles import triangle_counts
 from linkgraph.algorithms.sssp import sssp
 from linkgraph.algorithms.matching import bipartite_matching
-from linkgraph.algorithms.kcore import kcore
+from linkgraph.algorithms.kcore import core_number, kcore
 from linkgraph.algorithms.semiclustering import semi_clustering
 from linkgraph.algorithms.scc import scc
 
 __all__ = [
+    "core_number",
     "kcore",
     "scc",
     "semi_clustering",

@@ -26,6 +26,15 @@ with a widened frontier would re-deliver them and corrupt degrees; the
 r4 pregel_run snapshots carry the exact frontier (`_frontier` marker)
 and restore it, making kcore + checkpointer safe — resumed ==
 uninterrupted, asserted in tests/test_resume.py.
+
+`core_number` computes EVERY vertex's core number in one run via the
+distributed h-index fixpoint (Montresor, De Pellegrini & Miorandi,
+"Distributed k-Core Decomposition", IEEE TPDS 2013 — public
+literature): est(v) starts at deg(v) and each superstep becomes
+min(est(v), H(neighbor ests)) where H is the h-index (largest k such
+that >= k neighbors currently estimate >= k). Estimates are integer,
+monotonically non-increasing, and lower-bounded by the true core
+number, so the fixpoint is exact and schedule-independent (confluent).
 """
 
 from __future__ import annotations
@@ -102,6 +111,10 @@ def kcore_spec(k: int, degrees: DataFrame) -> PregelSpec:
         },
         halt=lambda a: int(a.get("active") or 0) == 0,
         frontier_filter="changed",
+        # decrement counting is non-confluent: a barrier-time topology
+        # mutation resets the frontier to the full state, re-delivering
+        # decrements that were already applied (pregel.py mutation_safe)
+        mutation_safe=False,
     )
 
 
@@ -132,3 +145,112 @@ def kcore(
         max_supersteps=max_supersteps,
         checkpointer=checkpointer,
     )
+
+
+# expression computing the h-index from a DESC-sorted array of
+# (est, cnt) histogram buckets: running cumulative count, h =
+# max over buckets of min(bucket est, cumulative #neighbors >= it)
+_H_INDEX_EXPR = """
+aggregate(
+  dist,
+  struct(CAST(0 AS BIGINT) AS cum, CAST(0 AS BIGINT) AS h),
+  (acc, x) -> struct(
+    acc.cum + x.cnt,
+    greatest(acc.h, least(x.est, acc.cum + x.cnt))),
+  acc -> acc.h
+)
+"""
+
+
+def core_number_spec(degrees: DataFrame) -> PregelSpec:
+    """h-index fixpoint spec (see module docstring). `degrees` =
+    undirected degree per id over the same symmetrized links.
+
+    Superstep plan (scale shape): every vertex scatters its current
+    estimate along all edges (|E| messages — estimates must be
+    recomputed from ALL neighbors, not a delta), then TWO map-side-
+    combinable aggregations: groupBy(dst, est).count() collapses the
+    degree-sized message stream into per-vertex histograms (a
+    high-degree hub contributes at most #distinct-estimate rows after
+    the partial agg, so hot vertices never materialize degree-sized
+    arrays — skew-safe where a collect_list formulation is not), then
+    groupBy(dst) folds the histogram through `_H_INDEX_EXPR`. Iteration
+    count is small in practice (Montresor et al. report near-log
+    convergence on real graphs); each round is O(|E|) shuffle like one
+    PageRank superstep.
+    """
+
+    def init_state(verts):
+        return verts.join(degrees, "id", "left").select(
+            "id",
+            F.coalesce(F.col("deg"), F.lit(0)).cast("long").alias("est"),
+        )
+
+    def step(links, state, frontier, aggs):
+        msgs = links.join(state.withColumnRenamed("id", "src"), "src").select(
+            "dst", "est"
+        )
+        hist = msgs.groupBy("dst", "est").agg(F.count(F.lit(1)).alias("cnt"))
+        hdf = (
+            hist.groupBy("dst")
+            .agg(
+                F.sort_array(
+                    F.collect_list(F.struct("est", "cnt")), asc=False
+                ).alias("dist")
+            )
+            .select(F.col("dst").alias("id"), F.expr(_H_INDEX_EXPR).alias("h"))
+        )
+        new_est = F.least(F.col("est"), F.coalesce(F.col("h"), F.lit(0)))
+        return state.join(hdf, "id", "left").select(
+            "id",
+            new_est.alias("est"),
+            (new_est < F.col("est")).alias("changed"),
+        )
+
+    return PregelSpec(
+        algo="core_number",
+        state_cols=("est",),
+        init_state=init_state,
+        prepare_links=lambda e: e,  # caller passes the symmetrized graph
+        step=step,
+        metrics={
+            "active": F.sum(F.col("changed").cast("long")),
+            # free global aggregator: max estimate = degeneracy upper
+            # bound during the run, exact degeneracy at convergence
+            "degeneracy": F.max("est"),
+        },
+        halt=lambda a: int(a.get("active") or 0) == 0,
+        frontier_filter=None,  # every vertex re-scatters each round
+        # estimates must shrink from the CURRENT graph's degrees; a
+        # barrier mutation adding edges cannot raise a settled estimate
+        mutation_safe=False,
+    )
+
+
+def core_number(
+    graph: Graph, max_supersteps: int = 200, checkpointer=None
+) -> tuple[DataFrame, RunInfo]:
+    """Core number of every vertex in ONE pregel run.
+
+    Returns (state(id, core), RunInfo); `core` = the largest k such
+    that the vertex belongs to the k-core. RunInfo.log[-1].aggregates
+    ["degeneracy"] is the graph degeneracy (max core number).
+    Agrees with peeling (`kcore`): {id | core >= k} == the k-core.
+    """
+    sym = symmetrize(graph.edges)
+    degrees = sym.groupBy(F.col("src").alias("id")).agg(
+        F.count(F.lit(1)).alias("deg")
+    )
+    sym_graph = Graph(
+        edges=sym,
+        vertices=graph.vertices,
+        num_vertices=graph.num_vertices,
+        num_edges=graph.num_edges,
+    )
+    state, info = pregel_run(
+        sym_graph,
+        core_number_spec(degrees),
+        max_supersteps=max_supersteps,
+        checkpointer=checkpointer,
+    )
+    return state.select("id", F.col("est").alias("core")), info

@@ -33,6 +33,8 @@ O(diameter of remaining). State is localCheckpoint'ed at every barrier
 
 from __future__ import annotations
 
+import time
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -50,8 +52,6 @@ def _min_fixpoint(
     Returns (labels, n_zero) where n_zero = #vertices with lab == 0 at
     convergence, computed by the SAME final-barrier aggregate (no extra
     action) — the backward phase's reach count rides it for free."""
-    import time
-
     frontier = labels
     for _ in range(100_000):  # bounded by remaining-subgraph diameter
         t0 = time.monotonic()
@@ -109,8 +109,6 @@ def scc(
     remaining_n = graph.num_vertices
     remaining = truncate_lineage(graph.vertices.repartition(p, "id"))
     done_parts: list[DataFrame] = []
-    import time
-
     for _ in range(max_outer):
         if remaining_n == 0:
             break

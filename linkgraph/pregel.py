@@ -34,12 +34,22 @@ Built-in machinery the spec gets for free:
   re-fires mutation callbacks only for supersteps after the snapshot
   (callbacks must be deterministic in the superstep index — the same
   requirement the paper places on compute()).
-- **Topology mutation (B14, paper §3.4)**: a `mutations(superstep)`
-  callback may return (add_edges, remove_edges) DataFrames; they are
+- **Topology mutation (B14, paper §3.4)**: two request sources, both
   resolved at the superstep BARRIER (BSP requires every superstep to
-  see a consistent graph): the scatter relation is rebuilt, new
-  vertices get `spec.init_state` rows, and the frontier is
-  conservatively reset to the full vertex set. Edge removal never
+  see a consistent graph) under the paper's pinned partial ordering —
+  removals apply first, then additions, so an edge both removed and
+  added in one barrier ends up present; conflicting adds of one
+  (src,dst) resolve to the lexicographic-min extra columns. (a) A
+  driver-side `mutations(superstep)` callback returning (add_edges,
+  remove_edges) DataFrames — scheduled growth, external feeds. (b)
+  VERTEX-INITIATED: `spec.request_mutations(new_state, aggs,
+  superstep)` derives ('add'|'remove', src, dst) request rows from
+  the program's own post-superstep state — the paper's compute()-
+  issued mutations (e.g. its clustering example, where vertices
+  decide to collapse edges), fully distributed, never collected.
+  After application the scatter relation is rebuilt, new vertices get
+  `spec.init_state` rows, and the frontier is conservatively reset to
+  the full vertex set. Edge removal never
   deletes a vertex — existing state rows are retained even when a
   vertex loses all its edges (the paper separates edge and vertex
   mutation; correct for the confluent min/argmax programs; monotone
@@ -141,6 +151,34 @@ class PregelSpec:
     frontier_filter: str | None = "changed"  # None = every vertex scatters
     links_key: str = "src"  # partition/sort column of the scatter relation
     # ("pk" for the CSR layout, whose relation is one row per partition)
+    # False = the program is not safe under barrier-time topology
+    # mutation: applying one resets the frontier to the FULL state,
+    # which re-delivers messages a non-idempotent program (k-core's
+    # decrement counting) already applied, or re-bases state a
+    # non-confluent program cannot re-settle. pregel_run raises on the
+    # unsafe combination instead of corrupting silently.
+    mutation_safe: bool = True
+    # Vertex-initiated topology mutation (paper §3.4 FULL semantics):
+    # the program itself — not a driver callback — derives mutation
+    # REQUEST rows from the post-superstep state:
+    #   request_mutations(new_state, aggs, superstep)
+    #     -> DataFrame(op string in ('add','remove'), src long, dst long,
+    #                  *extra edge columns for adds) | None
+    # Requests stay distributed end-to-end (a DataFrame transformation
+    # of the state — never collected) and are resolved at the SAME
+    # barrier under the paper's pinned partial ordering: removals
+    # apply FIRST, then additions (an edge both removed and added in
+    # one barrier ends up PRESENT); conflicting adds of the same
+    # (src,dst) resolve to the lexicographic-min extra columns — the
+    # same deterministic conflict handler as driver-callback adds.
+    # Cost note: deciding "any requests this barrier?" needs one extra
+    # bounded action (a 2-row groupBy(op) count). A spec can eliminate
+    # it on quiet barriers by exposing a `mutation_requests` metric
+    # (count of would-be requests over the new state): when that key
+    # is present and 0, the engine skips evaluating requests entirely.
+    request_mutations: (
+        Callable[[DataFrame, dict, int], DataFrame | None] | None
+    ) = None
 
 
 def pregel_run(
@@ -160,6 +198,20 @@ def pregel_run(
     """
     from linkgraph.graph import vertices_of
 
+    if mutations is not None and not spec.mutation_safe:
+        raise ValueError(
+            f"pregel_run({spec.algo}): this spec is marked "
+            "mutation_safe=False — barrier-time topology mutation would "
+            "re-deliver non-idempotent messages or re-base non-confluent "
+            "state; run it without mutations="
+        )
+    if spec.request_mutations is not None and not spec.mutation_safe:
+        raise ValueError(
+            f"pregel_run({spec.algo}): the spec declares "
+            "request_mutations but is marked mutation_safe=False — a "
+            "barrier-time mutation resets the frontier to the full "
+            "state, which this program cannot tolerate"
+        )
     edges = graph.edges
     spark = edges.sparkSession
     p = partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
@@ -271,86 +323,140 @@ def pregel_run(
         if spec.halt(aggs):
             converged = True
 
-        # the callback runs at EVERY barrier, including the one where
+        # Mutations resolve at EVERY barrier, including the one where
         # the run converges — a mutation scheduled for superstep K must
         # not be silently skipped because the algorithm settled at K.
-        # Mutations resolve BEFORE the checkpoint below so a snapshot
-        # at this barrier captures the post-mutation graph + state —
-        # resume then re-fires callbacks only for supersteps > this one
+        # They resolve BEFORE the checkpoint below so a snapshot at
+        # this barrier captures the post-mutation graph + state —
+        # resume then re-fires callbacks only for supersteps > this one.
+        # Two request sources share one application under the paper's
+        # §3.4 partial ordering (removals first, then additions — an
+        # edge both removed and added in one barrier ends up PRESENT):
+        # the driver-side `mutations(superstep)` callback, and the
+        # spec's own `request_mutations` (vertex-initiated, derived
+        # from the post-superstep state — never collected).
+        mut_add: DataFrame | None = None
+        mut_remove: DataFrame | None = None
         if mutations is not None:
             mut = mutations(step_i)
-            if mut is not None and step_i >= max_supersteps:
-                # terminal barrier: no superstep remains to observe the
-                # mutated graph — applying it would return state labeled
-                # converged=False for a graph it never ran on
-                import warnings
-
-                warnings.warn(
-                    f"pregel_run({spec.algo}): mutation returned at the "
-                    f"max_supersteps barrier ({step_i}) cannot be "
-                    "applied — no superstep remains; raise "
-                    "max_supersteps",
-                    stacklevel=2,
-                )
-                mut = None
             if mut is not None:
-                any_mutation = True
-                add, remove = mut
-                if add is not None:
-                    # preserve ALL edge columns (weights etc.) — added
-                    # edges must carry the same schema. Re-adding an
-                    # existing (src,dst) replaces the old row
-                    # (last-write-wins); duplicates WITHIN the added
-                    # batch resolve to the lexicographic-min extra
-                    # columns — deterministic, unlike dropDuplicates'
-                    # arbitrary survivor on conflicting weights
-                    add_rows = add.select(*edges.columns)
-                    extras = [c for c in edges.columns if c not in ("src", "dst")]
-                    if extras:
-                        add_rows = (
-                            add_rows.groupBy("src", "dst")
-                            .agg(F.min(F.struct(*extras)).alias("_e"))
-                            .select("src", "dst", "_e.*")
+                mut_add, mut_remove = mut
+        if spec.request_mutations is not None:
+            # gate: when the spec exposes a `mutation_requests` metric,
+            # a zero value means no vertex asked — skip the request
+            # evaluation (and its action) entirely on quiet barriers
+            gated_off = (
+                "mutation_requests" in spec.metrics
+                and not (aggs.get("mutation_requests") or 0)
+            )
+            if not gated_off:
+                req = spec.request_mutations(state, aggs, step_i)
+                if req is not None:
+                    op_counts = {
+                        r["op"]: r["n"]
+                        for r in req.groupBy("op")
+                        .agg(F.count(F.lit(1)).alias("n"))
+                        .collect()
+                    }
+                    unknown = set(op_counts) - {"add", "remove"}
+                    if unknown:
+                        raise ValueError(
+                            f"pregel_run({spec.algo}): request_mutations "
+                            f"emitted unknown op(s) {sorted(unknown)} — "
+                            "only 'add'/'remove' are defined (§3.4)"
                         )
-                    else:
-                        add_rows = add_rows.distinct()
-                    edges = edges.join(
-                        add_rows.select("src", "dst"), ["src", "dst"], "left_anti"
-                    ).unionByName(add_rows)
-                if remove is not None:
-                    edges = edges.join(
-                        remove.select("src", "dst"), ["src", "dst"], "left_anti"
-                    )
-                # weight-preserving canonicalization: drop self-loops
-                # WITHOUT projecting away extra edge columns (plain
-                # canonicalize would strip weights); (src,dst) is
-                # already unique — conflicts were resolved above
-                edges = truncate_lineage(
-                    edges.filter(F.col("src") != F.col("dst"))
-                    .repartition(p, "src")
+                    if op_counts.get("remove"):
+                        rdf = req.filter(F.col("op") == "remove").select(
+                            "src", "dst"
+                        )
+                        mut_remove = (
+                            rdf
+                            if mut_remove is None
+                            else mut_remove.select("src", "dst").unionByName(rdf)
+                        )
+                    if op_counts.get("add"):
+                        adf = req.filter(F.col("op") == "add").select(
+                            *edges.columns
+                        )
+                        mut_add = (
+                            adf
+                            if mut_add is None
+                            else mut_add.select(*edges.columns).unionByName(adf)
+                        )
+        if (mut_add is not None or mut_remove is not None) and (
+            step_i >= max_supersteps
+        ):
+            # terminal barrier: no superstep remains to observe the
+            # mutated graph — applying it would return state labeled
+            # converged=False for a graph it never ran on
+            import warnings
+
+            warnings.warn(
+                f"pregel_run({spec.algo}): mutation returned at the "
+                f"max_supersteps barrier ({step_i}) cannot be "
+                "applied — no superstep remains; raise "
+                "max_supersteps",
+                stacklevel=2,
+            )
+            mut_add = mut_remove = None
+        if mut_add is not None or mut_remove is not None:
+            any_mutation = True
+            # §3.4 partial ordering: removals FIRST ...
+            if mut_remove is not None:
+                edges = edges.join(
+                    mut_remove.select("src", "dst"), ["src", "dst"], "left_anti"
                 )
-                links.unpersist()
-                links = build_links(edges)
-                # NEW vertices get init rows; existing state is kept even
-                # if a vertex became edge-isolated (edge removal never
-                # removes a vertex — paper §3.4 separates the two)
-                verts = vertices_of(edges).repartition(p, "id")
-                new_ids = verts.join(state, "id", "left_anti")
-                state = truncate_lineage(
-                    state.unionByName(spec.init_state(new_ids))
-                )
-                frontier = state  # reactivate everything at the barrier
-                converged = False  # a mutated graph must be re-settled
-                mutated = True
-                edges_dirty = True
-                if spec.frontier_filter is not None:
-                    ckpt_frame = state.select(
-                        "id",
-                        *spec.state_cols,
-                        F.lit(True).alias("_frontier"),
+            # ... then additions. Preserve ALL edge columns (weights
+            # etc.) — added edges must carry the same schema. Re-adding
+            # an existing (src,dst) replaces the old row
+            # (last-write-wins); duplicates WITHIN the added batch
+            # resolve to the lexicographic-min extra columns —
+            # deterministic, unlike dropDuplicates' arbitrary survivor
+            # on conflicting weights
+            if mut_add is not None:
+                add_rows = mut_add.select(*edges.columns)
+                extras = [c for c in edges.columns if c not in ("src", "dst")]
+                if extras:
+                    add_rows = (
+                        add_rows.groupBy("src", "dst")
+                        .agg(F.min(F.struct(*extras)).alias("_e"))
+                        .select("src", "dst", "_e.*")
                     )
                 else:
-                    ckpt_frame = state
+                    add_rows = add_rows.distinct()
+                edges = edges.join(
+                    add_rows.select("src", "dst"), ["src", "dst"], "left_anti"
+                ).unionByName(add_rows)
+            # weight-preserving canonicalization: drop self-loops
+            # WITHOUT projecting away extra edge columns (plain
+            # canonicalize would strip weights); (src,dst) is
+            # already unique — conflicts were resolved above
+            edges = truncate_lineage(
+                edges.filter(F.col("src") != F.col("dst"))
+                .repartition(p, "src")
+            )
+            links.unpersist()
+            links = build_links(edges)
+            # NEW vertices get init rows; existing state is kept even
+            # if a vertex became edge-isolated (edge removal never
+            # removes a vertex — paper §3.4 separates the two)
+            verts = vertices_of(edges).repartition(p, "id")
+            new_ids = verts.join(state, "id", "left_anti")
+            state = truncate_lineage(
+                state.unionByName(spec.init_state(new_ids))
+            )
+            frontier = state  # reactivate everything at the barrier
+            converged = False  # a mutated graph must be re-settled
+            mutated = True
+            edges_dirty = True
+            if spec.frontier_filter is not None:
+                ckpt_frame = state.select(
+                    "id",
+                    *spec.state_cols,
+                    F.lit(True).alias("_frontier"),
+                )
+            else:
+                ckpt_frame = state
 
         if checkpointer is not None:
             cp = checkpointer.maybe_checkpoint(

@@ -286,6 +286,60 @@ def test_kcore_rejects_bad_k(graph_builder):
         kcore(graph_builder([(0, 1)]), 0)
 
 
+def test_core_number_matches_networkx(graph_builder):
+    """Full core decomposition in ONE run (h-index fixpoint) ==
+    networkx core_number on seeded random graphs; the degeneracy
+    aggregator equals the max core number; {core >= k} == the k-core
+    peeling result (the two formulations agree on the fixpoint)."""
+    import random
+
+    import networkx as nx
+
+    from linkgraph.algorithms import core_number, kcore
+
+    for seed, n, m in ((11, 50, 140), (7, 40, 60), (23, 30, 170)):
+        rng = random.Random(seed)
+        edges = set()
+        while len(edges) < m:
+            a, b = rng.randrange(n), rng.randrange(n)
+            if a != b:
+                edges.add((min(a, b), max(a, b)))
+        G = nx.Graph(edges)
+        cn = nx.core_number(G)
+        g = graph_builder(sorted(edges))
+        state, info = core_number(g)
+        got = {r["id"]: r["core"] for r in state.collect()}
+        assert got == cn, f"seed={seed}"
+        assert info.converged
+        assert info.log[-1].aggregates["degeneracy"] == max(cn.values())
+        # cross-check against the fixed-k peeling formulation
+        k = max(cn.values())
+        alive, _ = kcore(g, k)
+        assert {r["id"] for r in alive.collect() if r["alive"]} == {
+            v for v, c in got.items() if c >= k
+        }
+
+
+def test_core_number_golden_path_and_clique():
+    """Hand-checked fixtures: a path has core 1 everywhere; a K5 plus a
+    pendant vertex has core 4 in the clique and 1 at the pendant."""
+    from tests.conftest import make_graph
+
+    from linkgraph.algorithms import core_number
+
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.getActiveSession()
+    path = make_graph(spark, [(i, i + 1) for i in range(6)])
+    state, _ = core_number(path)
+    assert {r["core"] for r in state.collect()} == {1}
+
+    k5 = [(a, b) for a in range(5) for b in range(a + 1, 5)] + [(4, 99)]
+    g = make_graph(spark, k5)
+    got = {r["id"]: r["core"] for r in core_number(g)[0].collect()}
+    assert got == {0: 4, 1: 4, 2: 4, 3: 4, 4: 4, 99: 1}
+
+
 def _py_semicluster(edges, c_max, m_max, f_b, max_iter):
     """Pure-python replay of semiclustering.py's pinned schedule."""
     import collections

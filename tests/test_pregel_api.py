@@ -144,6 +144,186 @@ def test_mutation_remove_edge_stops_propagation(spark, graph_builder):
     assert got[3] == float("inf") and got[4] == float("inf")
 
 
+def test_vertex_initiated_add_matches_driver_callback(spark, graph_builder):
+    """Paper §3.4 FULL semantics: the program itself derives mutation
+    requests from its post-superstep state (vertices whose comp == 10
+    request an edge to id-10, collapsing the two components) and the
+    result matches the driver-callback equivalent exactly."""
+    import dataclasses
+
+    from linkgraph.algorithms.components import components_spec
+    from linkgraph.pregel import pregel_run
+
+    edges = [(0, 1), (1, 2), (10, 11), (11, 12)]
+
+    def requests(new_state, aggs, superstep):
+        if superstep != 2:
+            return None
+        return new_state.filter(F.col("comp") == 10).select(
+            F.lit("add").alias("op"),
+            F.col("id").alias("src"),
+            (F.col("id") - 10).alias("dst"),
+        )
+
+    spec = dataclasses.replace(components_spec(), request_mutations=requests)
+    state, info = pregel_run(graph_builder(edges), spec, max_supersteps=50)
+    got = {r["id"]: r["comp"] for r in state.collect()}
+
+    add_df = spark.createDataFrame(
+        [(10, 0), (11, 1), (12, 2)], "src long, dst long"
+    )
+    state2, info2 = pregel_run(
+        graph_builder(edges),
+        components_spec(),
+        max_supersteps=50,
+        mutations=lambda s: (add_df, None) if s == 2 else None,
+    )
+    got2 = {r["id"]: r["comp"] for r in state2.collect()}
+    assert got == got2
+    assert set(got.values()) == {0}  # one merged component
+    assert info.converged and info2.converged
+
+
+def test_vertex_initiated_remove_stops_propagation(spark, graph_builder):
+    """Vertex-initiated edge collapse: the vertex that just reached
+    dist 1 cuts its outgoing edge (a state-derived remove request),
+    leaving the tail unreachable — the compute()-side mirror of the
+    driver-callback removal test above."""
+    import dataclasses
+
+    from linkgraph.algorithms.sssp import sssp_spec
+    from linkgraph.pregel import pregel_run
+
+    def requests(new_state, aggs, superstep):
+        if superstep != 1:
+            return None
+        return new_state.filter(F.col("dist") == 1.0).select(
+            F.lit("remove").alias("op"),
+            F.col("id").alias("src"),
+            (F.col("id") + 1).alias("dst"),
+        )
+
+    spec = dataclasses.replace(sssp_spec(0), request_mutations=requests)
+    g = graph_builder([(0, 1), (1, 2), (2, 3), (3, 4)])
+    state, _ = pregel_run(g, spec, max_supersteps=50)
+    got = {r["id"]: r["dist"] for r in state.collect()}
+    inf = float("inf")
+    assert got == {0: 0.0, 1: 1.0, 2: inf, 3: inf, 4: inf}
+
+
+def test_mutation_ordering_removal_then_addition(spark, graph_builder):
+    """§3.4 pinned partial ordering: an edge both removed and added at
+    the same barrier ends up PRESENT (removals first, then additions).
+    Observable: a removal-only run on the same schedule splits the
+    graph, the remove+add run does not."""
+    from linkgraph.algorithms.components import connected_components
+
+    edges = [(0, 1), (1, 2), (2, 10), (10, 11)]
+    both = spark.createDataFrame([(2, 10)], "src long, dst long")
+
+    state, info = connected_components(
+        graph_builder(edges),
+        mutations=lambda s: (both, both) if s == 1 else None,
+    )
+    got = {r["id"]: r["comp"] for r in state.collect()}
+    assert set(got.values()) == {0}, "addition must win: edge present"
+    assert info.converged
+
+    state2, info2 = connected_components(
+        graph_builder(edges),
+        mutations=lambda s: (None, both) if s == 1 else None,
+    )
+    got2 = {r["id"]: r["comp"] for r in state2.collect()}
+    assert got2 == {0: 0, 1: 0, 2: 0, 10: 2, 11: 2}
+    assert info2.converged
+
+
+def test_request_mutations_gate_metric_skips_quiet_barriers(
+    spark, graph_builder
+):
+    """A spec exposing a `mutation_requests` metric is never asked for
+    requests on barriers where the metric is 0 — the zero-request
+    common case costs no extra Spark action."""
+    import dataclasses
+
+    from linkgraph.algorithms.components import components_spec
+    from linkgraph.pregel import pregel_run
+
+    calls = []
+
+    def requests(new_state, aggs, superstep):
+        calls.append(superstep)
+        return None
+
+    base = components_spec()
+    spec = dataclasses.replace(
+        base,
+        metrics={
+            **base.metrics,
+            "mutation_requests": F.sum(F.lit(0).cast("long")),
+        },
+        request_mutations=requests,
+    )
+    _, info = pregel_run(graph_builder([(0, 1), (1, 2)]), spec, max_supersteps=10)
+    assert info.converged
+    assert calls == []
+
+
+def test_request_mutations_unknown_op_rejected(spark, graph_builder):
+    """Request rows with an op outside {'add','remove'} are a program
+    bug — rejected with a ValueError, not silently dropped."""
+    import dataclasses
+
+    import pytest
+
+    from linkgraph.algorithms.components import components_spec
+    from linkgraph.pregel import pregel_run
+
+    def requests(new_state, aggs, superstep):
+        return new_state.select(
+            F.lit("frobnicate").alias("op"),
+            F.col("id").alias("src"),
+            (F.col("id") + 1).alias("dst"),
+        )
+
+    spec = dataclasses.replace(components_spec(), request_mutations=requests)
+    with pytest.raises(ValueError, match="unknown op"):
+        pregel_run(graph_builder([(0, 1)]), spec, max_supersteps=5)
+
+
+def test_mutation_unsafe_spec_rejected(spark, graph_builder):
+    """Specs marked mutation_safe=False (k-core's decrement counting,
+    the h-index core decomposition) must refuse a mutations= callback
+    up front — the barrier-time frontier reset would re-deliver
+    non-idempotent messages. The old docstring contract is now code."""
+    import pytest
+
+    from linkgraph.algorithms.kcore import core_number_spec, kcore_spec
+    from linkgraph.graph import symmetrize
+    from linkgraph.pregel import pregel_run
+
+    g = graph_builder([(0, 1), (1, 2)])
+    sym = symmetrize(g.edges)
+    degrees = sym.groupBy(F.col("src").alias("id")).agg(
+        F.count(F.lit(1)).alias("deg")
+    )
+    noop = spark.createDataFrame([(0, 2)], "src long, dst long")
+    for spec in (kcore_spec(2, degrees), core_number_spec(degrees)):
+        with pytest.raises(ValueError, match="mutation_safe=False"):
+            pregel_run(
+                g, spec, max_supersteps=5, mutations=lambda s: (noop, None)
+            )
+    # same guard for vertex-initiated requests authored into the spec
+    import dataclasses
+
+    unsafe = dataclasses.replace(
+        kcore_spec(2, degrees),
+        request_mutations=lambda st, aggs, s: None,
+    )
+    with pytest.raises(ValueError, match="mutation_safe=False"):
+        pregel_run(g, unsafe, max_supersteps=5)
+
+
 def test_mutations_with_checkpointer_resume_equals_uninterrupted(
     spark, graph_builder, tmp_path
 ):
