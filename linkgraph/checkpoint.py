@@ -192,6 +192,22 @@ class CheckpointManager:
         re-enters with the right aggregator state)."""
         extra = {"final": True, "converged": bool(converged)}
         last = self._last.get(algo)
+        if last is None and edges is None:
+            # fresh manager resuming an earlier run: the catalog (not
+            # this process) may already hold this superstep's snapshot —
+            # e.g. a resume whose start_step already satisfies
+            # max_supersteps re-finishes without ever checkpointing.
+            # Without this fallback finish() would rewrite a full
+            # duplicate snapshot of identical state.
+            try:
+                snap = self.catalog.latest(
+                    self._state_table(algo),
+                    predicate=lambda m: m.get("run_id") == self.run_id,
+                )
+            except FileNotFoundError:
+                snap = None
+            if snap is not None and int(snap.meta["superstep"]) == superstep:
+                last = (superstep, 0.0)
         if last is not None and last[0] == superstep:
             retag = getattr(self.catalog, "update_latest_meta", None)
             if retag is not None:

@@ -139,6 +139,31 @@ def test_pagerank_redistribute_resume_restores_aggregates(spark, catalog, graph_
     assert info_b.supersteps == full_info.supersteps
 
 
+def test_refinish_after_resume_writes_no_duplicate_snapshot(
+    spark, catalog, graph_builder
+):
+    """A resume whose start_step already satisfies max_supersteps runs
+    zero supersteps and re-finishes; a FRESH CheckpointManager has an
+    empty in-memory _last, so finish() must fall back to the catalog's
+    latest snapshot to detect the existing checkpoint at the same
+    superstep and retag it instead of rewriting a full duplicate."""
+    # chords make degrees non-uniform (a plain cycle is stationary at
+    # superstep 1 — delta 0 — and would converge before checkpointing)
+    edges = [(i, (i + 1) % 20) for i in range(20)] + [(0, 10), (5, 15)]
+    g = graph_builder(edges)
+    ck = CheckpointManager(catalog, run_id="refin1", every=5)
+    _, info = pagerank(g, tol=1e-15, max_supersteps=5, checkpointer=ck)
+    assert info.supersteps == 5 and not info.converged
+    n_before = len(catalog.snapshots("state_pagerank"))
+
+    ck2 = CheckpointManager(catalog, run_id="refin1", every=5)
+    state, info2 = pagerank(g, tol=1e-15, max_supersteps=5, checkpointer=ck2)
+    assert info2.supersteps == 5
+    assert state.count() == 20
+    n_after = len(catalog.snapshots("state_pagerank"))
+    assert n_after == n_before, "re-finish duplicated the final snapshot"
+
+
 def test_kcore_resume_equals_uninterrupted(spark, catalog, graph_builder):
     """k-core's decrement messages are NOT idempotent: resuming with a
     too-wide frontier (the old full-state reseed) re-scatters decrements
