@@ -21,6 +21,9 @@ from linkgraph.pipeline.dedup import (
     dedup_near,
     simhash_bits,
 )
+from linkgraph.pipeline.decontam import contamination_report, decontaminate
+from linkgraph.pipeline.dedup import lsh_band_rows
+from linkgraph.pipeline.dedup_incremental import IncrementalDeduper
 from linkgraph.pipeline.similarity import cosine_topk, ivf_build, ivf_topk
 from linkgraph.pipeline.textstats import (
     token_count_col,
@@ -41,6 +44,10 @@ __all__ = [
     "dedup_assignments",
     "dedup_near",
     "simhash_bits",
+    "lsh_band_rows",
+    "IncrementalDeduper",
+    "contamination_report",
+    "decontaminate",
     "cosine_topk",
     "ivf_build",
     "ivf_topk",

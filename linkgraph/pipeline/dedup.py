@@ -116,41 +116,23 @@ def minhash_signatures(
     )
 
 
-def lsh_candidate_pairs(
+def lsh_band_rows(
     signatures: DataFrame,
     bands: int = 4,
     hash_mode: str = "xxhash64",
-    max_bucket_size: int | None = None,
     num_hashes: int | None = None,
 ) -> DataFrame:
-    """Candidate near-dup pairs (id_a < id_b) sharing ≥1 LSH band.
+    """(id, band, bh) — one LSH bucket row per (doc, band).
 
-    Band hash = hash64 of the band's signature slice. The self-join is
-    keyed on (band, band_hash) — docs never compare across buckets.
-
-    num_hashes is the signature length. Pass it (every caller knows it
-    from minhash_signatures) — probing it from the data costs one full
-    execution of the shingle→hash→min pipeline BEFORE the
-    localCheckpoint below materializes it. The probe fallback exists
-    only for signatures of unknown provenance.
-
-    max_bucket_size bounds the m² blowup of a bucket of m
-    near-identical docs (guaranteed on dup-heavy crawl data): buckets
-    larger than the cap are dropped from candidate generation, with
-    the dropped mass logged (no silent caps). Run `dedup_exact` FIRST
-    so byte-identical duplicates never reach LSH — then an oversized
-    bucket means heavy boilerplate, which the cap turns from a
-    scale-killer into a logged skip.
-    """
-    if num_hashes is not None:
-        sig_len = int(num_hashes)
-        if sig_len <= 0:
-            raise ValueError(f"num_hashes must be positive, got {num_hashes}")
-    else:
-        sig_len_row = signatures.select(F.size("sig").alias("n")).first()
-        if sig_len_row is None:
-            return signatures.sparkSession.createDataFrame([], "id_a long, id_b long")
-        sig_len = int(sig_len_row["n"])
+    Band hash = hash64 of the band's signature slice; depends only on
+    the signature (hence only on the text), which is what makes the
+    banded table an INDEX: it can be persisted and joined against by
+    later batches (dedup_incremental) — a doc's bucket membership never
+    changes. Shared by lsh_candidate_pairs (in-memory self-join) and
+    the incremental index (catalog-persisted)."""
+    if num_hashes is None or int(num_hashes) <= 0:
+        raise ValueError(f"num_hashes must be positive, got {num_hashes}")
+    sig_len = int(num_hashes)
     if bands <= 0 or bands > sig_len or sig_len % bands != 0:
         raise ValueError(
             f"bands={bands} must divide the signature length {sig_len} "
@@ -183,14 +165,50 @@ def lsh_candidate_pairs(
     band_arr = F.when(F.size("sig") == sig_len, band_arr).otherwise(
         F.raise_error(
             F.concat(
-                F.lit("lsh_candidate_pairs: signature length "),
+                F.lit("lsh band rows: signature length "),
                 F.size("sig").cast("string"),
                 F.lit(f" != declared num_hashes={sig_len}"),
             )
         )
     )
-    banded = signatures.select("id", F.explode(band_arr).alias("bb")).select(
+    return signatures.select("id", F.explode(band_arr).alias("bb")).select(
         "id", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh")
+    )
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame,
+    bands: int = 4,
+    hash_mode: str = "xxhash64",
+    max_bucket_size: int | None = None,
+    num_hashes: int | None = None,
+) -> DataFrame:
+    """Candidate near-dup pairs (id_a < id_b) sharing ≥1 LSH band.
+
+    Band hash = hash64 of the band's signature slice. The self-join is
+    keyed on (band, band_hash) — docs never compare across buckets.
+
+    num_hashes is the signature length. Pass it (every caller knows it
+    from minhash_signatures) — probing it from the data costs one full
+    execution of the shingle→hash→min pipeline BEFORE the
+    localCheckpoint below materializes it. The probe fallback exists
+    only for signatures of unknown provenance.
+
+    max_bucket_size bounds the m² blowup of a bucket of m
+    near-identical docs (guaranteed on dup-heavy crawl data): buckets
+    larger than the cap are dropped from candidate generation, with
+    the dropped mass logged (no silent caps). Run `dedup_exact` FIRST
+    so byte-identical duplicates never reach LSH — then an oversized
+    bucket means heavy boilerplate, which the cap turns from a
+    scale-killer into a logged skip.
+    """
+    if num_hashes is None:
+        sig_len_row = signatures.select(F.size("sig").alias("n")).first()
+        if sig_len_row is None:
+            return signatures.sparkSession.createDataFrame([], "id_a long, id_b long")
+        num_hashes = int(sig_len_row["n"])
+    banded = lsh_band_rows(
+        signatures, bands=bands, hash_mode=hash_mode, num_hashes=num_hashes
     )
     # Materialize the banded table ONCE: it is read 2× by the pair
     # self-join (3× with the cap's bucket-size count) and each read
@@ -354,18 +372,23 @@ def dedup_assignments(
     graph → min-id canonical per component. A doc is a survivor iff
     doc_id == canonical_id; `dedup_near` applies that filter.
 
-    Scale shape: the only corpus-sized shuffles are the sha256 hash-agg
-    and the shingle pipeline LSH already pays; the component fixpoint
-    and the final mapping joins run on the pair graph / rep table,
-    both bounded by the capped candidate set.
+    Scale shape: the text is sha256-hashed in ONE corpus scan (the
+    (id, h) projection is localCheckpoint-materialized and shared by
+    the group aggregate and the doc→rep join), so the corpus-sized work
+    is one scan+hash, one sha-keyed hash-agg shuffle, one sha-keyed
+    join shuffle, the kept semi-join, and the shingle pipeline LSH
+    already pays; the component fixpoint and the final mapping joins
+    run on the pair graph / rep table, both bounded by the capped
+    candidate set.
     """
-    sha = F.sha2(F.col(text_col), 256)
-    groups = df.groupBy(sha.alias("h")).agg(F.min(F.col(id_col)).alias("rep"))
-    doc_rep = (
-        df.select(F.col(id_col), sha.alias("h"))
-        .join(groups, "h")
-        .select(id_col, "rep")
+    from linkgraph.pregel import truncate_lineage
+
+    hashed = truncate_lineage(
+        df.select(F.col(id_col), F.sha2(F.col(text_col), 256).alias("h")),
+        eager=False,
     )
+    groups = hashed.groupBy("h").agg(F.min(F.col(id_col)).alias("rep"))
+    doc_rep = hashed.join(groups, "h").select(id_col, "rep")
     kept = df.join(
         groups.select(F.col("rep").alias(id_col)), id_col, "left_semi"
     )

@@ -160,6 +160,154 @@ def test_lsh_bucket_cap_drops_oversized_and_warns(spark):
     assert any("dropped" in str(w.message) for w in caught)
 
 
+def test_incremental_dedup_equals_full_recompute(spark, tmp_path):
+    """Batch-incremental dedup over the persisted LSH index ==
+    full dedup_assignments recompute over the union, on a planted
+    fixture with exact dups and near-dups WITHIN and ACROSS batches
+    (an across-batch near-dup can only be found by joining the new
+    batch's bands against the stored index)."""
+    from linkgraph.catalog import ParquetManifestCatalog
+    from linkgraph.pipeline import IncrementalDeduper
+    from linkgraph.pipeline.dedup import dedup_assignments
+
+    batch1 = spark.createDataFrame(
+        [
+            (0, "the quick brown fox jumps over the lazy dog tonight"),
+            (1, "the quick brown fox jumps over the lazy dog tonight"),  # exact dup
+            (2, "an unrelated essay about distributed shuffle design"),
+            (3, "numerical recipes for eigenvalue decomposition at scale"),
+        ],
+        "doc_id long, text string",
+    )
+    batch2 = spark.createDataFrame(
+        [
+            # near-dup of doc 0 — across batches, via the stored index
+            (10, "the quick brown fox jumped over the lazy dog tonight!"),
+            (11, "an unrelated essay about distributed shuffle design"),  # exact dup of 2
+            (12, "completely novel content with no relatives anywhere"),
+            # near-dup pair within batch 2
+            (13, "recipes for eigenvalue decomposition at petabyte scale"),
+        ],
+        "doc_id long, text string",
+    )
+    params = dict(k=5, num_hashes=16, bands=4, threshold=0.5)
+    cat = ParquetManifestCatalog(spark, str(tmp_path / "wh"))
+    inc = IncrementalDeduper(cat, max_bucket_size=None, **params)
+
+    a1 = {r["doc_id"]: r["canonical_id"] for r in inc.add_batch(batch1).collect()}
+    full1 = {
+        r["doc_id"]: r["canonical_id"]
+        for r in dedup_assignments(batch1, max_bucket_size=None, **params).collect()
+    }
+    assert a1 == full1
+
+    a2 = {r["doc_id"]: r["canonical_id"] for r in inc.add_batch(batch2).collect()}
+    union = batch1.unionByName(batch2)
+    full2 = {
+        r["doc_id"]: r["canonical_id"]
+        for r in dedup_assignments(union, max_bucket_size=None, **params).collect()
+    }
+    assert a2 == full2
+    # the planted relations actually collapsed
+    assert a2[1] == a2[0] and a2[11] == a2[2] and a2[10] == a2[0]
+    assert a2[12] == 12
+
+    # changed parameters must be rejected (they invalidate the index)
+    import pytest
+
+    bad = IncrementalDeduper(cat, k=7, num_hashes=16, bands=4)
+    with pytest.raises(ValueError, match="index was built with"):
+        bad.add_batch(batch2)
+
+
+def test_incremental_dedup_index_stores_distinct_content_once(spark, tmp_path):
+    """The index is keyed by content hash: a batch of N copies of one
+    text appends exactly ONE set of shingle/band rows, and a later
+    batch repeating known content appends none."""
+    from linkgraph.catalog import ParquetManifestCatalog
+    from linkgraph.pipeline import IncrementalDeduper
+
+    cat = ParquetManifestCatalog(spark, str(tmp_path / "wh2"))
+    inc = IncrementalDeduper(cat, k=4, num_hashes=8, bands=2)
+    same = "identical boilerplate page content here"
+    b1 = spark.createDataFrame(
+        [(i, same) for i in range(5)], "doc_id long, text string"
+    )
+    inc.add_batch(b1)
+    assert cat.read_all("dedupidx_banded").count() == 2  # 1 content × 2 bands
+    b2 = spark.createDataFrame(
+        [(100, same), (101, "something genuinely new appears")],
+        "doc_id long, text string",
+    )
+    a = {r["doc_id"]: r["canonical_id"] for r in inc.add_batch(b2).collect()}
+    assert cat.read_all("dedupidx_banded").count() == 4  # +1 content × 2 bands
+    assert a[100] == 0 and a[101] == 101
+
+
+def test_contamination_report_finds_planted_eval_leak(spark):
+    """Decontamination (pipeline/decontam.py): a training doc that
+    contains an eval question verbatim is flagged at 1.0; a doc with
+    no eval overlap is not flagged; `decontaminate` drops exactly the
+    flagged docs and keeps the rest."""
+    import pytest
+
+    from linkgraph.pipeline import contamination_report, decontaminate
+
+    eval_rows = [
+        (100, "what is the capital of france"),
+        (101, "compute the determinant of a 3x3 matrix"),
+    ]
+    train_rows = [
+        # contains eval 100 verbatim inside boilerplate -> contamination 1.0
+        (0, "trivia dump: what is the capital of france? answer: paris"),
+        # clean docs
+        (1, "a treatise on the migratory patterns of atlantic seabirds"),
+        (2, "spark engines and distributed shuffle design notes"),
+    ]
+    train = spark.createDataFrame(train_rows, "doc_id long, text string")
+    ev = spark.createDataFrame(eval_rows, "eval_id long, text string")
+
+    rep = contamination_report(train, ev, k=5, threshold=0.8)
+    got = {(r["doc_id"], r["eval_id"]): r["contamination"] for r in rep.collect()}
+    assert got == {(0, 100): 1.0}
+    # every eval shingle of 100 appears in doc 0
+    row = rep.collect()[0]
+    assert row["overlap_ngrams"] == row["eval_ngrams"]
+
+    # lower threshold surfaces partial overlaps; chance char-5-gram
+    # collisions sit below 0.06 on this fixture (doc1↔eval101 shares
+    # " the "-style grams at 2/35), so 0.1 still flags only doc 0, and
+    # the zero-overlap doc 2 is never flagged at any threshold > 0
+    rep_low = contamination_report(train, ev, k=5, threshold=0.1)
+    assert {r["doc_id"] for r in rep_low.collect()} == {0}
+    rep_tiny = contamination_report(train, ev, k=5, threshold=0.01)
+    assert 2 not in {r["doc_id"] for r in rep_tiny.collect()}
+
+    clean = decontaminate(train, ev, k=5, threshold=0.8)
+    assert {r["doc_id"] for r in clean.collect()} == {1, 2}
+
+    with pytest.raises(ValueError, match="threshold"):
+        contamination_report(train, ev, threshold=1.5)
+
+
+def test_contamination_broadcast_plan(spark):
+    """The corpus side must stay map-side: the eval shingle join is a
+    BroadcastHashJoin (the corpus-sized relation is never shuffled)."""
+    from linkgraph.pipeline import contamination_report
+
+    train = spark.createDataFrame(
+        [(i, f"document number {i} with some text") for i in range(20)],
+        "doc_id long, text string",
+    )
+    ev = spark.createDataFrame(
+        [(900, "document number 7 with some text")], "eval_id long, text string"
+    )
+    rep = contamination_report(train, ev, k=5, threshold=0.9)
+    plan = rep._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert {r["doc_id"] for r in rep.collect()} >= {7}
+
+
 def test_simhash(spark):
     df = docs_df(spark)
     bits = simhash_bits(df, nbits=32)
