@@ -452,6 +452,16 @@ MATCH_K = 12  # matching rounds unrolled in the oracle (engine converges
 KCORE_K = 12  # peeling rounds unrolled in the k-core oracle (6 waves at
 #              sf0.01; post-fixpoint rounds are no-ops on both sides)
 KCORE_DEG = 8  # the k of the driver's k-core entry
+KCORE_NUM_ROUNDS = 16  # h-index rounds unrolled in the core-number
+#              oracle (engine converges earlier at sf0.01; post-fixpoint
+#              rounds are no-ops on both sides)
+SEMI_K = 4  # semi-clustering supersteps unrolled in the driver oracle
+CONTAM_K = 8  # shingle width of the decontamination driver entry
+CONTAM_THRESHOLD = 0.2  # min fraction of an eval doc's shingles found
+#              in a training doc; 0.2 yields 68 flagged pairs on the
+#              synthetic sf0.01 docs (0.8 yields zero — a vacuous
+#              oracle; production uses high thresholds, the driver
+#              entry wants a non-empty comparison)
 
 
 def _pagerank_oracle_sql(k: int, limit: int = 50, dangling: str = "drop") -> str:
@@ -624,6 +634,105 @@ def _kcore_oracle_sql(k: int, rounds: int) -> str:
     return "".join(parts)
 
 
+def _kcore_numbers_oracle_sql(rounds: int) -> str:
+    """R rounds of the distributed h-index fixpoint (Montresor et al.
+    2013; algorithms/kcore.core_number) on the symmetrized sparse
+    co-purchase graph: est0 = degree; round i sets est = min(est,
+    h-index of neighbor estimates). Integer-exact and monotone, so any
+    R >= the convergence round reproduces the converged engine state
+    bit-for-bit (rounds past the fixpoint are no-ops)."""
+    parts = [
+        f"WITH c AS MATERIALIZED ({_SPARSE_COPURCHASE_SQL}), ",
+        "e AS MATERIALIZED (SELECT src, dst FROM c "
+        "UNION SELECT dst, src FROM c), ",
+        "l0 AS MATERIALIZED (SELECT src AS id, count(*) AS est FROM e GROUP BY src)",
+    ]
+    for i in range(1, rounds + 1):
+        # each l{i} is read TWICE (the join and the carry-forward);
+        # MATERIALIZED stops DuckDB's CTE inlining from duplicating the
+        # whole prefix per reference (~3.3x plan growth per round
+        # unmaterialized — minutes at rounds=8, hours at 16)
+        parts.append(
+            f", n{i} AS (SELECT e.src AS id, l.est AS nest, "
+            "row_number() OVER (PARTITION BY e.src ORDER BY l.est DESC) AS rn "
+            f"FROM e JOIN l{i - 1} l ON e.dst = l.id)"
+            f", h{i} AS (SELECT id, max(least(nest, rn)) AS h "
+            f"FROM n{i} GROUP BY id)"
+            f", l{i} AS MATERIALIZED (SELECT p.id, "
+            "least(p.est, coalesce(h.h, 0)) AS est "
+            f"FROM l{i - 1} p LEFT JOIN h{i} h ON p.id = h.id)"
+        )
+    parts.append(
+        f" SELECT id, est AS core FROM l{rounds} ORDER BY id"
+    )
+    return "".join(parts)
+
+
+def _semicluster_oracle_sql(
+    rounds: int, c_max: int = 2, m_max: int = 4, f_b: float = 0.5
+) -> str:
+    """R unrolled supersteps of the pinned semi-clustering schedule
+    (algorithms/semiclustering.py, paper §5.4) on the symmetrized
+    sparse co-purchase graph, flattened to the top-1 cluster per
+    vertex. Cluster lists are DuckDB LISTs (lexicographic list
+    comparison == the kernel's python-tuple tie-break); ic/bc are
+    maintained incrementally exactly as the kernel does, so every
+    round is integer-exact and rounds past the engine's convergence
+    are no-ops."""
+    sc = (
+        "CASE WHEN len(members) <= 1 THEN 0.0 ELSE "
+        f"(ic - {f_b} * bc) / (len(members) * (len(members) - 1) / 2.0) END"
+    )
+    parts = [
+        f"WITH c AS MATERIALIZED ({_SPARSE_COPURCHASE_SQL}), ",
+        "e AS MATERIALIZED (SELECT src, dst FROM c "
+        "UNION SELECT dst, src FROM c), ",
+        "adj AS MATERIALIZED (SELECT src AS id, "
+        "list(dst ORDER BY dst) AS nbrs, count(*) AS deg "
+        "FROM e GROUP BY src), ",
+        "s0 AS MATERIALIZED (SELECT id, [id] AS members, "
+        "CAST(0 AS BIGINT) AS ic, deg AS bc FROM adj)",
+    ]
+    for i in range(1, rounds + 1):
+        parts.append(
+            # messages: each neighbor's current best-c_max list
+            f", m{i} AS MATERIALIZED (SELECT e.dst AS id, s.members, s.ic, s.bc "
+            f"FROM e JOIN s{i - 1} s ON e.src = s.id)"
+            # candidates: received-containing ∪ extended ∪ own old list
+            f", x{i} AS ("
+            f"SELECT id, members, ic, bc FROM m{i} "
+            "WHERE list_contains(members, id) "
+            "UNION ALL "
+            "SELECT m.id, list_sort(list_append(m.members, m.id)) AS members, "
+            "m.ic + len(list_intersect(m.members, a.nbrs)) AS ic, "
+            "m.bc - 2 * len(list_intersect(m.members, a.nbrs)) + a.deg AS bc "
+            f"FROM m{i} m JOIN adj a ON m.id = a.id "
+            f"WHERE NOT list_contains(m.members, m.id) "
+            f"AND len(m.members) < {m_max} "
+            "UNION ALL "
+            f"SELECT id, members, ic, bc FROM s{i - 1})"
+            # dedup identical member-sets (ic/bc are functions of the
+            # set, so survivors are value-equal; rn pins determinism)
+            f", d{i} AS (SELECT id, members, ic, bc FROM ("
+            "SELECT id, members, ic, bc, row_number() OVER "
+            "(PARTITION BY id, members ORDER BY ic, bc) AS rn "
+            f"FROM x{i}) WHERE rn = 1)"
+            f", r{i} AS MATERIALIZED (SELECT id, members, ic, bc, {sc} AS score FROM d{i})"
+            f", s{i} AS MATERIALIZED (SELECT id, members, ic, bc FROM ("
+            "SELECT id, members, ic, bc, row_number() OVER "
+            "(PARTITION BY id ORDER BY score DESC, members ASC) AS rk "
+            f"FROM r{i}) WHERE rk <= {c_max})"
+        )
+    parts.append(
+        " SELECT id, array_to_string(members, ',') AS top_members, "
+        "round(score, 6) AS top_score FROM ("
+        "SELECT id, members, score, row_number() OVER "
+        "(PARTITION BY id ORDER BY score DESC, members ASC) AS rk "
+        f"FROM r{rounds}) WHERE rk = 1 ORDER BY id"
+    )
+    return "".join(parts)
+
+
 def _lpa_oracle_sql(iters: int) -> str:
     """K sync-LPA iterations as chained CTEs (argmax = row_number over
     (cnt DESC, label ASC) — the engine's pinned tie-break, §A.3).
@@ -662,12 +771,19 @@ def _minhash_oracle_sql(
     bands: int = 4,
     dedup_first: bool = False,
     max_bucket_size: int | None = None,
-) -> str:
+    as_parts: bool = False,
+    recursive: bool = False,
+):
     """Full MinHash+LSH candidate set in SQL: k-gram shingles → H
     portable hashes → per-doc mins → band hashes → bucket self-join.
     Integer-exact vs the Spark portable-mode path. dedup_first /
     max_bucket_size mirror the scale-safe near_dup_candidates pipeline
-    (exact-dedup before banding; oversized band buckets dropped)."""
+    (exact-dedup before banding; oversized band buckets dropped).
+
+    as_parts=True returns (cte_prefix, final_select) so downstream
+    oracles (_jaccard/_dedup_survivors) append CTEs structurally
+    instead of string-slicing the rendered SQL; recursive=True emits
+    WITH RECURSIVE for callers that append a fixpoint CTE."""
     rpb = num_hashes // bands
     hash_cols = ", ".join(
         _md5num(f"s || ':{i}'") + f" AS h{i}" for i in range(num_hashes)
@@ -699,8 +815,9 @@ def _minhash_oracle_sql(
             "kept AS (SELECT b.* FROM banded b ANTI JOIN big USING (band, bh))"
         )
         pair_src = "kept"
-    return (
-        f"WITH {src}"
+    with_kw = "WITH RECURSIVE " if recursive else "WITH "
+    prefix = (
+        f"{with_kw}{src}"
         "ex AS (SELECT doc_id, lower(text) AS lt, "
         "unnest(generate_series(1, "
         f"greatest(length(lower(text)) - {k - 1}, 1))) AS i FROM docs), "
@@ -713,24 +830,27 @@ def _minhash_oracle_sql(
         f"{cap}, "
         f"pairs AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b FROM {pair_src} a "
         f"JOIN {pair_src} b ON a.band = b.band AND a.bh = b.bh AND a.id < b.id) "
-        "SELECT id_a, id_b FROM pairs"
     )
+    final = "SELECT id_a, id_b FROM pairs"
+    return (prefix, final) if as_parts else prefix + final
 
 
 def _jaccard_oracle_sql(
     k: int = 5, num_hashes: int = 16, bands: int = 4,
     max_bucket_size: int = 10, threshold: float = 0.5,
-) -> str:
+    as_parts: bool = False, recursive: bool = False,
+):
     """Exact n-gram Jaccard over the capped LSH candidates: reuses the
     near-dup pipeline CTEs, then scores each candidate pair as
-    |A∩B| / (|A|+|B|−|A∩B|) over the distinct shingle sets."""
-    base = _minhash_oracle_sql(
+    |A∩B| / (|A|+|B|−|A∩B|) over the distinct shingle sets.
+    as_parts/recursive: see _minhash_oracle_sql."""
+    mh_prefix, _ = _minhash_oracle_sql(
         k=k, num_hashes=num_hashes, bands=bands,
         dedup_first=True, max_bucket_size=max_bucket_size,
+        as_parts=True, recursive=recursive,
     )
-    prefix = base.rsplit("SELECT id_a, id_b FROM pairs", 1)[0]
-    return (
-        prefix
+    prefix = (
+        mh_prefix
         + ", sz AS (SELECT id, count(*) AS n FROM sh GROUP BY id), "
         "inter AS (SELECT a.id AS id_a, b.id AS id_b, count(*) AS i "
         "FROM sh a JOIN sh b ON a.s = b.s AND a.id < b.id "
@@ -739,9 +859,12 @@ def _jaccard_oracle_sql(
         "CAST(inter.i AS DOUBLE) / (sa.n + sb.n - inter.i) AS j "
         "FROM pairs p JOIN inter ON p.id_a = inter.id_a AND p.id_b = inter.id_b "
         "JOIN sz sa ON sa.id = p.id_a JOIN sz sb ON sb.id = p.id_b) "
+    )
+    final = (
         f"SELECT id_a, id_b, round(j, 6) AS jaccard FROM scored "
         f"WHERE j >= CAST({threshold} AS DOUBLE)"
     )
+    return (prefix, final) if as_parts else prefix + final
 
 
 def _dedup_survivors_oracle_sql(
@@ -751,15 +874,14 @@ def _dedup_survivors_oracle_sql(
     """Full dedup-closure oracle: the Jaccard pipeline CTEs, then
     min-label connected components over the verified pair graph via a
     recursive CTE (same normal form as components_min_label), then the
-    doc → exact-rep → component-min canonical chain."""
-    base = _jaccard_oracle_sql(
+    doc → exact-rep → component-min canonical chain. The pair CTEs are
+    recursion-free; recursive=True just permits the components fixpoint
+    CTE appended below."""
+    prefix, _ = _jaccard_oracle_sql(
         k=k, num_hashes=num_hashes, bands=bands,
         max_bucket_size=max_bucket_size, threshold=threshold,
+        as_parts=True, recursive=True,
     )
-    prefix = base.rsplit("SELECT id_a, id_b, round", 1)[0]
-    # the pair CTEs are recursion-free; WITH RECURSIVE just permits the
-    # components fixpoint CTE appended below
-    prefix = prefix.replace("WITH ", "WITH RECURSIVE ", 1)
     return (
         prefix
         + f", vp AS (SELECT id_a, id_b FROM scored "
@@ -778,6 +900,31 @@ def _dedup_survivors_oracle_sql(
         "JOIN grp g ON sha256(d.text) = g.h) "
         "SELECT dr.doc_id, CAST(coalesce(c.c, dr.rep) AS BIGINT) "
         "AS canonical_id FROM docrep dr LEFT JOIN comp c ON dr.rep = c.id"
+    )
+
+
+def _contamination_oracle_sql(k: int, threshold: float) -> str:
+    """Decontamination oracle (pipeline/decontam.py): distinct k-gram
+    shingles of every doc vs the eval slice (doc_id % 97 = 0);
+    contamination = |train ∩ eval shingles| / |eval shingles|."""
+    return (
+        "WITH tx AS (SELECT doc_id, lower(text) AS lt, "
+        "unnest(generate_series(1, "
+        f"greatest(length(lower(text)) - {k - 1}, 1))) AS i FROM documents), "
+        "sht AS MATERIALIZED (SELECT DISTINCT doc_id, substr(lt, i, "
+        f"{k}) AS s FROM tx WHERE length(substr(lt, i, {k})) = {k}), "
+        "she AS (SELECT doc_id AS eval_id, s FROM sht "
+        "WHERE doc_id % 97 = 0), "
+        "es AS (SELECT eval_id, count(*) AS eval_ngrams FROM she "
+        "GROUP BY eval_id), "
+        "ov AS (SELECT t.doc_id, e.eval_id, count(*) AS overlap_ngrams "
+        "FROM sht t JOIN she e ON t.s = e.s GROUP BY t.doc_id, e.eval_id) "
+        "SELECT doc_id, eval_id, overlap_ngrams, eval_ngrams, "
+        "round(CAST(overlap_ngrams AS DOUBLE) / eval_ngrams, 6) "
+        "AS contamination FROM ov JOIN es USING (eval_id) "
+        f"WHERE CAST(overlap_ngrams AS DOUBLE) / eval_ngrams >= "
+        f"CAST({threshold} AS DOUBLE) AND doc_id <> eval_id "
+        "ORDER BY doc_id, eval_id"
     )
 
 
@@ -968,6 +1115,47 @@ def q_kcore_membership(spark, sf_dir):  # k-core via delta peeling waves
     )
 
 
+def q_kcore_numbers(spark, sf_dir):  # C9+: full core decomposition, one run
+    # h-index fixpoint (algorithms/kcore.core_number): every vertex's
+    # core number in ONE pregel run; the oracle unrolls the same
+    # fixpoint (rounds past convergence are no-ops, so any R >= the
+    # convergence round matches exactly — same contract as the peeling
+    # oracle above).
+    from linkgraph.algorithms import core_number
+    from linkgraph.graph import Graph
+
+    g = Graph.prepare(_sparse_copurchase_edges(spark, sf_dir))
+    state, _ = core_number(g, max_supersteps=KCORE_NUM_ROUNDS)
+    return state.orderBy("id")
+
+
+def q_semicluster_top1(spark, sf_dir):  # C8 flattened under a SQL oracle
+    # top-1 semi-cluster per vertex after SEMI_K supersteps of the
+    # pinned schedule; members flattened to a sorted concat string and
+    # the score recomputed from the carried (ic, bc) — closing the last
+    # algorithm without a driver oracle (the nested list state itself
+    # is not hashable by the driver's column compare).
+    from linkgraph.algorithms import semi_clustering
+    from linkgraph.graph import Graph
+
+    g = Graph.prepare(_sparse_copurchase_edges(spark, sf_dir))
+    state, _ = semi_clustering(
+        g, c_max=2, m_max=4, f_b=0.5, max_iter=SEMI_K
+    )
+    top = state.select("id", F.element_at("clusters", 1).alias("c"))
+    n = F.size(F.col("c.members"))
+    score = F.when(n <= 1, F.lit(0.0)).otherwise(
+        (F.col("c.ic") - 0.5 * F.col("c.bc")) / (n * (n - 1) / 2.0)
+    )
+    return top.select(
+        "id",
+        F.concat_ws(",", F.col("c.members").cast("array<string>")).alias(
+            "top_members"
+        ),
+        F.round(score, 6).alias("top_score"),
+    ).orderBy("id")
+
+
 def q_lpa_copurchase(spark, sf_dir):  # C3 sync LPA, fixed LPA_K iters
     from linkgraph.algorithms import label_propagation
     from linkgraph.graph import Graph
@@ -1091,6 +1279,33 @@ def q_ann_ivf(spark, sf_dir):  # pipeline: IVF-bucketed approximate NN
     )
 
 
+def q_contamination_report(spark, sf_dir):  # pipeline: decontamination
+    # eval set = deterministic slice of the documents table (doc_id %
+    # 97 == 0); the corpus-side shingle table broadcast-joins the eval
+    # shingles, so the corpus is never shuffled (pipeline/decontam.py).
+    # Self-pairs (an eval doc contaminating itself) are excluded.
+    from linkgraph.pipeline import contamination_report
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    ev = docs.filter(F.col("doc_id") % 97 == 0).select(
+        F.col("doc_id").alias("eval_id"), "text"
+    )
+    rep = contamination_report(
+        docs, ev, k=CONTAM_K, threshold=CONTAM_THRESHOLD
+    )
+    return (
+        rep.filter(F.col("doc_id") != F.col("eval_id"))
+        .select(
+            "doc_id",
+            "eval_id",
+            "overlap_ngrams",
+            "eval_ngrams",
+            F.round("contamination", 6).alias("contamination"),
+        )
+        .orderBy("doc_id", "eval_id")
+    )
+
+
 def q_simhash_sample(spark, sf_dir):  # pipeline: SimHash fingerprints
     from linkgraph.pipeline.dedup import simhash_bits
 
@@ -1165,6 +1380,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ppr_copurchase": q_ppr_copurchase,
         "bipartite_matching": q_bipartite_matching,
         "kcore_membership": q_kcore_membership,
+        "kcore_numbers": q_kcore_numbers,
+        "semicluster_top1": q_semicluster_top1,
         "scc_membership": q_scc_membership,
         "lpa_copurchase": q_lpa_copurchase,
         "minhash_lsh_candidates": q_minhash_lsh_candidates,
@@ -1173,6 +1390,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_survivors": q_dedup_survivors,
         "ann_ivf": q_ann_ivf,
         "simhash_sample": q_simhash_sample,
+        "contamination_report": q_contamination_report,
         "doc_tfidf_top_terms": q_doc_tfidf_top_terms,
         "doc_bm25": q_doc_bm25,
         "rp_lsh_sigs": q_rp_lsh_sigs,
@@ -1399,6 +1617,8 @@ def oracle_sql() -> dict[str, str]:
         "ppr_copurchase": _ppr_oracle_sql(PR_K),
         "bipartite_matching": _matching_oracle_sql(MATCH_K),
         "kcore_membership": _kcore_oracle_sql(KCORE_DEG, KCORE_K),
+        "kcore_numbers": _kcore_numbers_oracle_sql(KCORE_NUM_ROUNDS),
+        "semicluster_top1": _semicluster_oracle_sql(SEMI_K),
         # SCC normal form: scc = min id of the mutual-reachability class,
         # derived from the full transitive closure (recursive CTE)
         "scc_membership": (
@@ -1424,6 +1644,9 @@ def oracle_sql() -> dict[str, str]:
         "jaccard_verified_pairs": _jaccard_oracle_sql(),
         "dedup_survivors": _dedup_survivors_oracle_sql(),
         "simhash_sample": _simhash_oracle_sql(),
+        "contamination_report": _contamination_oracle_sql(
+            CONTAM_K, CONTAM_THRESHOLD
+        ),
         "doc_tfidf_top_terms": (
             "WITH tok AS (SELECT doc_id, t.term FROM documents, "
             "unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS t(term) "

@@ -42,6 +42,8 @@ def run_pipeline(ap, args) -> None:
 
     dedup: exact + near dedup -> the surviving documents table.
     dedup-assign: (doc_id, canonical_id) for every doc (audit form).
+    decontam: corpus minus docs contaminated by --eval-docs (n-gram
+    overlap >= --contam-threshold of an eval doc's shingles).
     """
     if not args.documents:
         ap.error("--pipeline requires --documents <parquet-dir>")
@@ -54,11 +56,33 @@ def run_pipeline(ap, args) -> None:
     catalog = get_catalog(spark, args.warehouse)
     t0 = time.monotonic()
     docs = spark.read.parquet(args.documents)
+    n_in = docs.count()
+    if args.pipeline == "decontam":
+        if not args.eval_docs:
+            ap.error("--pipeline decontam requires --eval-docs <parquet-dir> "
+                     "with (eval_id, text)")
+        from linkgraph.pipeline.decontam import decontaminate
+
+        eval_df = spark.read.parquet(args.eval_docs)
+        knobs = dict(k=args.shingle_k, threshold=args.contam_threshold)
+        out = decontaminate(docs, eval_df, **knobs)
+        if args.out:
+            catalog.write_snapshot(args.out, out, meta={"run_id": args.run_id})
+            n_out = catalog.read_snapshot(args.out).count()
+        else:
+            n_out = out.count()
+        print(json.dumps({
+            "pipeline": args.pipeline, "run_id": args.run_id,
+            "docs_in": n_in, "rows_out": n_out,
+            "dropped": n_in - n_out,
+            "wall_s": round(time.monotonic() - t0, 3), **knobs,
+        }))
+        spark.stop()
+        return
     knobs = dict(
         k=args.shingle_k, num_hashes=args.num_hashes, bands=args.bands,
         max_bucket_size=args.bucket_cap, threshold=args.dedup_threshold,
     )
-    n_in = docs.count()
     if args.pipeline == "dedup":
         out = dedup_near(docs, **knobs)
     else:
@@ -84,7 +108,8 @@ def main() -> None:
     ap.add_argument("--make-zip")
     ap.add_argument("--algo", choices=["pagerank", "ppr", "components", "lpa",
                                        "triangles", "sssp", "matching",
-                                       "kcore", "semicluster", "scc"])
+                                       "kcore", "core-number", "semicluster",
+                                       "scc"])
     ap.add_argument("--corpus", help="corpus table: parquet dir (or synth:R,F)")
     ap.add_argument("--corpus-format", default="parquet",
                     choices=["parquet", "csv", "json"],
@@ -118,7 +143,8 @@ def main() -> None:
                     help="semicluster: clusters kept per vertex")
     ap.add_argument("--m-max", type=int, default=4,
                     help="semicluster: max members per cluster")
-    ap.add_argument("--pipeline", choices=["dedup", "dedup-assign"],
+    ap.add_argument("--pipeline", choices=["dedup", "dedup-assign",
+                                           "decontam"],
                     help="run a training-data pipeline op instead of a "
                     "graph algorithm: dedup = write the deduplicated "
                     "documents table (exact + near); dedup-assign = "
@@ -127,6 +153,11 @@ def main() -> None:
                     "(doc_id, text, ...) for --pipeline")
     ap.add_argument("--dedup-threshold", type=float, default=0.5,
                     help="near-dup Jaccard threshold")
+    ap.add_argument("--eval-docs", help="eval/benchmark parquet dir "
+                    "(eval_id, text) for --pipeline decontam")
+    ap.add_argument("--contam-threshold", type=float, default=0.5,
+                    help="min fraction of an eval doc's n-grams found "
+                    "in a training doc to flag it")
     ap.add_argument("--shingle-k", type=int, default=5)
     ap.add_argument("--num-hashes", type=int, default=16)
     ap.add_argument("--bands", type=int, default=4)
@@ -246,6 +277,14 @@ def main() -> None:
         state, info = kcore(
             g, args.k, max_supersteps=args.max_supersteps, checkpointer=ck
         )
+    elif args.algo == "core-number":
+        from linkgraph.algorithms import core_number
+
+        state, info = core_number(
+            g, max_supersteps=args.max_supersteps, checkpointer=ck
+        )
+        if info.log:
+            summary["degeneracy"] = info.log[-1].aggregates.get("degeneracy")
     elif args.algo == "scc":
         from linkgraph.algorithms import scc as _scc
 
