@@ -133,6 +133,20 @@ class IncrementalDeduper:
             F.sha2(F.col(text_col), 256).alias("h"),
         )
         old_docs = self._read_or_none("docs")
+        if old_docs is not None:
+            # replay idempotence (streaming foreachBatch is
+            # at-least-once): a doc_id already in the index is dropped
+            # from the batch — re-delivering a batch appends nothing
+            # and returns the same assignments. doc_id is the identity;
+            # re-ingesting an id with different text is not an update.
+            hashed = hashed.join(
+                old_docs.select("doc_id").distinct(), "doc_id", "left_anti"
+            )
+            df = df.join(
+                hashed.select(F.col("doc_id").alias(id_col)),
+                id_col,
+                "left_semi",
+            )
         # one exemplar row per NEW distinct content: shingles/signature/
         # buckets depend only on the text, so any doc of the hash works
         exemplars = (

@@ -107,6 +107,51 @@ def streaming_degree_counts(stream: DataFrame, exports: DataFrame) -> DataFrame:
     return edges.groupBy("src_repo").agg(F.count(F.lit(1)).alias("outdeg"))
 
 
+DOC_SCHEMA = "doc_id long, text string"
+
+
+def stream_documents(
+    spark: SparkSession, drop_dir: str
+) -> DataFrame:
+    """File-drop source with the documents-table shape (doc_id, text)
+    for the streaming dedup path."""
+    return spark.readStream.schema(DOC_SCHEMA).parquet(drop_dir)
+
+
+def stream_dedup(
+    stream: DataFrame,
+    deduper,
+    checkpoint_dir: str,
+    assignments_table: str = "dedup_assignments",
+):
+    """Streaming near-dup dedup: each micro-batch of documents runs
+    through `IncrementalDeduper.add_batch` (pipeline/dedup_incremental)
+    — the batch's NEW content is shingled/banded once, joined against
+    the persisted LSH index, and the accumulated (doc_id, canonical_id)
+    assignment snapshot is committed per epoch. This is the 100 TB
+    crawl shape: dedup keeps up with ingestion instead of recomputing
+    the corpus per batch.
+
+    Exactly-once on top of foreachBatch's at-least-once: add_batch
+    drops doc_ids already in the index, so a replayed micro-batch
+    appends nothing and rewrites an identical assignment snapshot.
+    Returns the StreamingQuery.
+    """
+
+    def process(batch: DataFrame, epoch_id: int) -> None:
+        assigns = deduper.add_batch(batch)
+        deduper.catalog.write_snapshot(
+            assignments_table, assigns, meta={"epoch": epoch_id}
+        )
+
+    return (
+        stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 EVENT_SCHEMA = "event_id long, ts timestamp, event_type string, value double, props string"
 
 

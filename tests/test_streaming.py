@@ -191,3 +191,71 @@ def test_stream_corpus_guards_reordered_csv_header(spark, tmp_path):
         f.write("a.py,org1,c1,python,import x\n")
     with pytest.raises(ValueError, match="pinned column order"):
         stream_corpus(spark, drop, fmt="csv")
+
+
+def test_stream_dedup_matches_full_recompute_and_replays_safely(spark, tmp_path):
+    """Streaming dedup over the persisted LSH index: two document
+    drops (with an across-batch near-dup) processed through
+    stream_dedup == a full dedup_assignments recompute over the union;
+    re-delivering the first drop afterwards (at-least-once replay)
+    changes nothing."""
+    from linkgraph.pipeline import IncrementalDeduper
+    from linkgraph.pipeline.dedup import dedup_assignments
+    from linkgraph.streaming import stream_dedup, stream_documents
+
+    b1 = [
+        (0, "the quick brown fox jumps over the lazy dog tonight"),
+        (1, "the quick brown fox jumps over the lazy dog tonight"),
+        (2, "an unrelated essay about distributed shuffle design"),
+    ]
+    b2 = [
+        (10, "the quick brown fox jumped over the lazy dog tonight!"),
+        (11, "completely novel content with no relatives anywhere"),
+    ]
+    drop = str(tmp_path / "drop")
+    os.makedirs(drop)
+    catalog = ParquetManifestCatalog(spark, str(tmp_path / "wh"))
+    params = dict(k=5, num_hashes=16, bands=4, threshold=0.5)
+    inc = IncrementalDeduper(catalog, max_bucket_size=None, **params)
+
+    def drop_batch(rows, name):
+        spark.createDataFrame(rows, "doc_id long, text string").repartition(
+            1
+        ).write.mode("overwrite").parquet(f"{drop}/{name}")
+
+    def run_stream():
+        q = stream_dedup(
+            stream_documents(spark, f"{drop}/*"), inc, str(tmp_path / "ck")
+        )
+        q.awaitTermination(120)
+
+    drop_batch(b1, "b1")
+    run_stream()
+    drop_batch(b2, "b2")
+    run_stream()
+
+    got = {
+        r["doc_id"]: r["canonical_id"]
+        for r in catalog.read_snapshot("dedup_assignments").collect()
+    }
+    union = spark.createDataFrame(b1 + b2, "doc_id long, text string")
+    want = {
+        r["doc_id"]: r["canonical_id"]
+        for r in dedup_assignments(
+            union, max_bucket_size=None, **params
+        ).collect()
+    }
+    assert got == want
+    assert got[1] == got[0] and got[10] == got[0]  # exact + near dup
+    n_docs = catalog.read_all("dedupidx_docs").count()
+
+    # at-least-once replay: re-deliver b1's docs as a "new" file; the
+    # index must not grow and assignments must be unchanged
+    drop_batch(b1, "b1-redelivered")
+    run_stream()
+    assert catalog.read_all("dedupidx_docs").count() == n_docs
+    got2 = {
+        r["doc_id"]: r["canonical_id"]
+        for r in catalog.read_snapshot("dedup_assignments").collect()
+    }
+    assert got2 == got
