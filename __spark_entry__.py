@@ -456,6 +456,11 @@ KCORE_NUM_ROUNDS = 16  # h-index rounds unrolled in the core-number
 #              oracle (engine converges earlier at sf0.01; post-fixpoint
 #              rounds are no-ops on both sides)
 SEMI_K = 4  # semi-clustering supersteps unrolled in the driver oracle
+HITS_K = 8  # HITS iterations unrolled in the hubs/authorities oracle
+MIS_ROUNDS = 12  # Luby rounds unrolled in the MIS oracle (engine
+#              converges earlier at sf0.01; post-fixpoint rounds have
+#              an empty undecided set and are exact no-ops on both
+#              sides — same contract as the matching/k-core oracles)
 CONTAM_K = 8  # shingle width of the decontamination driver entry
 CONTAM_THRESHOLD = 0.2  # min fraction of an eval doc's shingles found
 #              in a training doc; 0.2 yields 68 flagged pairs on the
@@ -577,6 +582,85 @@ def _weighted_pagerank_oracle_sql(k: int, limit: int = 50) -> str:
         f" SELECT id, round(pr, 6) AS pr FROM s{k} "
         f"ORDER BY pr DESC, id ASC LIMIT {limit}"
     )
+    return "".join(parts)
+
+
+def _hits_oracle_sql(k: int, side: str, limit: int = 50) -> str:
+    """K iterations of HITS as chained CTEs, matching
+    algorithms/hits.py iteration-for-iteration: init a=0, h=1;
+    a_i = Σ in-edge h_{i-1} then /‖·‖₂; h_i = Σ out-edge a_i then
+    /‖·‖₂; missing gathers coalesce to 0. side selects the final
+    projection ('auth' | 'hub'). AS MATERIALIZED for the same
+    CTE-inlining-blowup reason as the PageRank oracle."""
+    parts = [
+        f"WITH e AS MATERIALIZED ({_COPURCHASE_SQL}), ",
+        "v AS MATERIALIZED (SELECT src AS id FROM e UNION SELECT dst FROM e), ",
+        "s0 AS MATERIALIZED (SELECT id, CAST(0 AS DOUBLE) AS a, "
+        "CAST(1 AS DOUBLE) AS h FROM v)",
+    ]
+    for i in range(1, k + 1):
+        parts.append(
+            f", ra{i} AS (SELECT e.dst AS id, sum(s.h) AS r FROM e "
+            f"JOIN s{i - 1} s ON e.src = s.id GROUP BY e.dst)"
+            f", ar{i} AS MATERIALIZED (SELECT v.id, "
+            "coalesce(r.r, CAST(0 AS DOUBLE)) AS r "
+            f"FROM v LEFT JOIN ra{i} r ON v.id = r.id)"
+            f", an{i} AS MATERIALIZED (SELECT ar.id, "
+            "CASE WHEN n.n > 0 THEN ar.r / n.n ELSE CAST(0 AS DOUBLE) "
+            f"END AS a FROM ar{i} ar CROSS JOIN "
+            f"(SELECT sqrt(sum(r * r)) AS n FROM ar{i}) n)"
+            f", rh{i} AS (SELECT e.src AS id, sum(an.a) AS r FROM e "
+            f"JOIN an{i} an ON e.dst = an.id GROUP BY e.src)"
+            f", hr{i} AS MATERIALIZED (SELECT v.id, "
+            "coalesce(r.r, CAST(0 AS DOUBLE)) AS r "
+            f"FROM v LEFT JOIN rh{i} r ON v.id = r.id)"
+            f", s{i} AS MATERIALIZED (SELECT hr.id, an.a, "
+            "CASE WHEN n.n > 0 THEN hr.r / n.n ELSE CAST(0 AS DOUBLE) "
+            f"END AS h FROM hr{i} hr JOIN an{i} an ON hr.id = an.id "
+            f"CROSS JOIN (SELECT sqrt(sum(r * r)) AS n FROM hr{i}) n)"
+        )
+    col, alias = ("a", "auth") if side == "auth" else ("h", "hub")
+    parts.append(
+        f" SELECT id, round({col}, 6) AS {alias} FROM s{k} "
+        f"ORDER BY {alias} DESC, id ASC LIMIT {limit}"
+    )
+    return "".join(parts)
+
+
+def _mis_oracle_sql(rounds: int) -> str:
+    """R rounds of Luby MIS on the symmetrized sparse co-purchase
+    graph, matching algorithms/mis.py round-for-round: per round r the
+    undecided vertices draw the portable md5 priority seeded by r, a
+    vertex wins iff no undecided neighbor has a strictly smaller
+    (p, id), winners' undecided neighbors become excluded.
+    Integer-exact; rounds past the fixpoint have an empty undecided
+    set and are no-ops."""
+    parts = [
+        f"WITH e0 AS MATERIALIZED ({_SPARSE_COPURCHASE_SQL}), ",
+        "e AS MATERIALIZED (SELECT src, dst FROM e0 "
+        "UNION SELECT dst AS src, src AS dst FROM e0), ",
+        "v AS MATERIALIZED (SELECT DISTINCT src AS id FROM e), ",
+        "s0 AS MATERIALIZED (SELECT id, 0 AS st FROM v)",
+    ]
+    for r in range(1, rounds + 1):
+        pr = _md5num(f"CAST(id AS VARCHAR) || ':{r}'")
+        parts.append(
+            f", p{r} AS MATERIALIZED (SELECT id, {pr} AS p "
+            f"FROM s{r - 1} WHERE st = 0)"
+            f", w{r} AS MATERIALIZED (SELECT p.id FROM p{r} p "
+            "WHERE NOT EXISTS (SELECT 1 FROM e "
+            f"JOIN p{r} q ON q.id = e.src WHERE e.dst = p.id "
+            "AND (q.p < p.p OR (q.p = p.p AND q.id < p.id))))"
+            f", x{r} AS (SELECT DISTINCT e.dst AS id FROM e "
+            f"JOIN w{r} w ON e.src = w.id)"
+            f", s{r} AS MATERIALIZED (SELECT s.id, "
+            "CASE WHEN s.st <> 0 THEN s.st "
+            "WHEN w.id IS NOT NULL THEN 1 "
+            "WHEN x.id IS NOT NULL THEN 2 ELSE 0 END AS st "
+            f"FROM s{r - 1} s LEFT JOIN w{r} w ON s.id = w.id "
+            f"LEFT JOIN x{r} x ON s.id = x.id)"
+        )
+    parts.append(f" SELECT id FROM s{rounds} WHERE st = 1 ORDER BY id")
     return "".join(parts)
 
 
@@ -1129,6 +1213,48 @@ def q_kcore_numbers(spark, sf_dir):  # C9+: full core decomposition, one run
     return state.orderBy("id")
 
 
+def q_hits_authorities(spark, sf_dir):  # HITS, fixed HITS_K iterations
+    # directed bipartite co-purchase graph: customers are hubs ranking
+    # supplier authorities. tol=0.0 pins exactly HITS_K supersteps so
+    # the unrolled-CTE oracle matches iteration-for-iteration.
+    from linkgraph.algorithms import hits
+    from linkgraph.graph import Graph
+
+    g = Graph.prepare(_copurchase_edges(spark, sf_dir))
+    state, _ = hits(g, tol=0.0, max_supersteps=HITS_K)
+    return (
+        state.select("id", F.round("a", 6).alias("auth"))
+        .orderBy(F.desc("auth"), F.asc("id"))
+        .limit(50)
+    )
+
+
+def q_hits_hubs(spark, sf_dir):  # HITS hub side of the same run
+    from linkgraph.algorithms import hits
+    from linkgraph.graph import Graph
+
+    g = Graph.prepare(_copurchase_edges(spark, sf_dir))
+    state, _ = hits(g, tol=0.0, max_supersteps=HITS_K)
+    return (
+        state.select("id", F.round("h", 6).alias("hub"))
+        .orderBy(F.desc("hub"), F.asc("id"))
+        .limit(50)
+    )
+
+
+def q_mis_vertices(spark, sf_dir):  # Luby MIS, pinned md5 priorities
+    # integer-exact oracle: the portable 60-bit md5 priority is
+    # regenerated in SQL per unrolled round (same hash the dedup
+    # pipeline's portable mode standardizes), so membership — not just
+    # counts — compares exactly.
+    from linkgraph.algorithms import maximal_independent_set
+    from linkgraph.graph import Graph
+
+    g = Graph.prepare(_sparse_copurchase_edges(spark, sf_dir))
+    state, info = maximal_independent_set(g, max_rounds=MIS_ROUNDS)
+    return state.filter(F.col("st") == 1).select("id").orderBy("id")
+
+
 def q_semicluster_top1(spark, sf_dir):  # C8 flattened under a SQL oracle
     # top-1 semi-cluster per vertex after SEMI_K supersteps of the
     # pinned schedule; members flattened to a sorted concat string and
@@ -1381,6 +1507,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bipartite_matching": q_bipartite_matching,
         "kcore_membership": q_kcore_membership,
         "kcore_numbers": q_kcore_numbers,
+        "hits_authorities": q_hits_authorities,
+        "hits_hubs": q_hits_hubs,
+        "mis_vertices": q_mis_vertices,
         "semicluster_top1": q_semicluster_top1,
         "scc_membership": q_scc_membership,
         "lpa_copurchase": q_lpa_copurchase,
@@ -1618,6 +1747,9 @@ def oracle_sql() -> dict[str, str]:
         "bipartite_matching": _matching_oracle_sql(MATCH_K),
         "kcore_membership": _kcore_oracle_sql(KCORE_DEG, KCORE_K),
         "kcore_numbers": _kcore_numbers_oracle_sql(KCORE_NUM_ROUNDS),
+        "hits_authorities": _hits_oracle_sql(HITS_K, "auth"),
+        "hits_hubs": _hits_oracle_sql(HITS_K, "hub"),
+        "mis_vertices": _mis_oracle_sql(MIS_ROUNDS),
         "semicluster_top1": _semicluster_oracle_sql(SEMI_K),
         # SCC normal form: scc = min id of the mutual-reachability class,
         # derived from the full transitive closure (recursive CTE)

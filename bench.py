@@ -392,6 +392,49 @@ def scc_stress(cpus: int) -> dict:
         spark.stop()
 
 
+def core_stress(cpus: int) -> dict:
+    """Full core decomposition on a skewed uniform random graph
+    (VERDICT r4 #8): `core_number` answers EVERY vertex's core number
+    in one h-index fixpoint run — this times that single pass on a
+    2M-edge graph and reports rounds + the core-number histogram head
+    (a stable fingerprint: xxhash64 generation is deterministic)."""
+    from linkgraph.algorithms import core_number
+    from linkgraph.graph import Graph
+    from pyspark.sql import functions as F
+
+    spark = _session(cpus)
+    try:
+        V, E = 200_000, 2_000_000
+        edges = spark.range(0, E).select(
+            F.pmod(F.xxhash64(F.col("id")), F.lit(V)).alias("src"),
+            F.pmod(F.xxhash64(F.col("id") * F.lit(31) + F.lit(7)), F.lit(V)).alias("dst"),
+        )
+        g = Graph.prepare(edges)
+        g.edges.count()
+        t0 = time.monotonic()
+        state, info = core_number(g)
+        hist = {
+            int(r["core"]): int(r["n"])
+            for r in state.groupBy("core")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .orderBy(F.desc("core"))
+            .limit(5)
+            .collect()
+        }
+        wall = time.monotonic() - t0
+        return {
+            "metric": "core_stress",
+            "vertices": g.num_vertices,
+            "edges": g.num_edges,
+            "rounds": info.supersteps,
+            "top_cores": hist,
+            "wall_s": round(wall, 3),
+            "cpus": cpus,
+        }
+    finally:
+        spark.stop()
+
+
 def ivf_bench(cpus: int, sf_dir: str, n_centroids: int = 256) -> dict:
     """Production-shape IVF check: C=256 build (broadcast-matrix kernel
     assignment + Lloyd) over the real embeddings table, written
@@ -442,6 +485,9 @@ def main() -> None:
         return
     if "--scc-stress" in sys.argv:
         print(json.dumps(scc_stress(cpus)))
+        return
+    if "--core-stress" in sys.argv:
+        print(json.dumps(core_stress(cpus)))
         return
     if "--throughput" in sys.argv:
         i = sys.argv.index("--throughput")

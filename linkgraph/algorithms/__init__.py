@@ -4,13 +4,17 @@ from linkgraph.algorithms.lpa import label_propagation
 from linkgraph.algorithms.triangles import triangle_counts
 from linkgraph.algorithms.sssp import sssp
 from linkgraph.algorithms.matching import bipartite_matching
+from linkgraph.algorithms.hits import hits
 from linkgraph.algorithms.kcore import core_number, kcore
+from linkgraph.algorithms.mis import maximal_independent_set
 from linkgraph.algorithms.semiclustering import semi_clustering
 from linkgraph.algorithms.scc import scc
 
 __all__ = [
     "core_number",
+    "hits",
     "kcore",
+    "maximal_independent_set",
     "scc",
     "semi_clustering",
     "pagerank",

@@ -290,7 +290,13 @@ def pregel_run(
     any_mutation = mutated  # an edge-snapshot resume counts as mutated
     while step_i < max_supersteps and not converged:
         t0 = time.monotonic()
-        new_state = spec.step(links, state, frontier, aggs)
+        # paper §2: compute() can query the current superstep index.
+        # Exposed under the reserved "_superstep" aggs key (0-based,
+        # resume-exact: a resumed run passes start_step, identical to
+        # what the uninterrupted run's step S would have seen) so
+        # round-seeded programs (e.g. Luby MIS priorities) are
+        # deterministic across checkpointing.
+        new_state = spec.step(links, state, frontier, {**aggs, "_superstep": step_i})
         # lazy checkpoint: the metric agg below materializes it in one job
         new_state = truncate_lineage(new_state, eager=False)
         row = new_state.agg(

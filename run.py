@@ -109,7 +109,7 @@ def main() -> None:
     ap.add_argument("--algo", choices=["pagerank", "ppr", "components", "lpa",
                                        "triangles", "sssp", "matching",
                                        "kcore", "core-number", "semicluster",
-                                       "scc"])
+                                       "scc", "hits", "mis"])
     ap.add_argument("--corpus", help="corpus table: parquet dir (or synth:R,F)")
     ap.add_argument("--corpus-format", default="parquet",
                     choices=["parquet", "csv", "json"],
@@ -289,6 +289,19 @@ def main() -> None:
         from linkgraph.algorithms import scc as _scc
 
         state, info = _scc(g)
+    elif args.algo == "hits":
+        from linkgraph.algorithms import hits
+
+        state, info = hits(
+            g, tol=args.tol, max_supersteps=args.max_supersteps,
+            checkpointer=ck,
+        )
+    elif args.algo == "mis":
+        from linkgraph.algorithms import maximal_independent_set
+
+        state, info = maximal_independent_set(
+            g, max_rounds=args.max_supersteps, checkpointer=ck
+        )
     elif args.algo == "semicluster":
         from linkgraph.algorithms import semi_clustering
 
