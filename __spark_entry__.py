@@ -461,6 +461,15 @@ MIS_ROUNDS = 12  # Luby rounds unrolled in the MIS oracle (engine
 #              converges earlier at sf0.01; post-fixpoint rounds have
 #              an empty undecided set and are exact no-ops on both
 #              sides — same contract as the matching/k-core oracles)
+COLOR_ROUNDS = 24  # Jones-Plassmann rounds unrolled in the coloring
+#              oracle. 24 covers the fixpoint at sf0.01 (winners are
+#              LOCAL minima — expected fraction 1/(deg+1), and the
+#              sparse co-purchase suppliers have degree ~70, so the
+#              tail is ~22 rounds); exactness does NOT require
+#              convergence anyway (-1 compares equal on both sides)
+#              and post-fixpoint rounds have an empty uncolored set
+LINKPRED_LIMIT = 100  # top pairs kept by the link-prediction entry,
+#              totally ordered by (rounded adamic_adar desc, src, dst)
 CONTAM_K = 8  # shingle width of the decontamination driver entry
 CONTAM_THRESHOLD = 0.2  # min fraction of an eval doc's shingles found
 #              in a training doc; 0.2 yields 68 flagged pairs on the
@@ -661,6 +670,76 @@ def _mis_oracle_sql(rounds: int) -> str:
             f"LEFT JOIN x{r} x ON s.id = x.id)"
         )
     parts.append(f" SELECT id FROM s{rounds} WHERE st = 1 ORDER BY id")
+    return "".join(parts)
+
+
+def _linkpred_oracle_sql(limit: int) -> str:
+    """Common-neighbor link prediction on the symmetrized sparse
+    co-purchase graph, matching algorithms/linkpred.py exactly (no
+    center cap at this scale): one wedge self-join on the center,
+    Adamic-Adar weight 1/ln(deg(center)), adjacency anti-filter,
+    full-degree Jaccard; totally ordered by (rounded aa desc, src,
+    dst) so the LIMIT is deterministic on both sides."""
+    return (
+        f"WITH e0 AS MATERIALIZED ({_SPARSE_COPURCHASE_SQL}), "
+        "e AS MATERIALIZED (SELECT src, dst FROM e0 "
+        "UNION SELECT dst AS src, src AS dst FROM e0), "
+        "deg AS MATERIALIZED (SELECT src AS id, count(*) AS d "
+        "FROM e GROUP BY src), "
+        "w AS MATERIALIZED (SELECT a.dst AS u, b.dst AS v, "
+        "count(*) AS common, sum(1.0 / ln(d.d)) AS aa "
+        "FROM e a JOIN e b ON a.src = b.src AND a.dst < b.dst "
+        "JOIN deg d ON d.id = a.src GROUP BY a.dst, b.dst) "
+        "SELECT w.u AS src, w.v AS dst, w.common, "
+        "round(w.common * 1.0 / (du.d + dv.d - w.common), 6) AS jaccard, "
+        "round(w.aa, 6) AS adamic_adar "
+        "FROM w JOIN deg du ON du.id = w.u JOIN deg dv ON dv.id = w.v "
+        "WHERE NOT EXISTS (SELECT 1 FROM e "
+        "WHERE e.src = w.u AND e.dst = w.v) "
+        f"ORDER BY adamic_adar DESC, src, dst LIMIT {limit}"
+    )
+
+
+def _coloring_oracle_sql(rounds: int) -> str:
+    """R rounds of Jones-Plassmann coloring on the symmetrized sparse
+    co-purchase graph, matching algorithms/coloring.py round-for-round:
+    per round r the uncolored vertices draw the portable md5 priority
+    seeded by r, a vertex wins iff no uncolored neighbor has a strictly
+    smaller (p, id), and each winner takes the relational mex of its
+    colored neighborhood (candidates = {0} ∪ {c+1}, anti-join used,
+    min). Integer-exact; -1 (still uncolored) compares equal on both
+    sides, so exactness does not depend on convergence."""
+    parts = [
+        f"WITH e0 AS MATERIALIZED ({_SPARSE_COPURCHASE_SQL}), ",
+        "e AS MATERIALIZED (SELECT src, dst FROM e0 "
+        "UNION SELECT dst AS src, src AS dst FROM e0), ",
+        "v AS MATERIALIZED (SELECT DISTINCT src AS id FROM e), ",
+        "s0 AS MATERIALIZED (SELECT id, -1 AS c FROM v)",
+    ]
+    for r in range(1, rounds + 1):
+        pr = _md5num(f"CAST(id AS VARCHAR) || ':{r}'")
+        parts.append(
+            f", u{r} AS MATERIALIZED (SELECT id, {pr} AS p "
+            f"FROM s{r - 1} WHERE c = -1)"
+            f", w{r} AS MATERIALIZED (SELECT p.id FROM u{r} p "
+            "WHERE NOT EXISTS (SELECT 1 FROM e "
+            f"JOIN u{r} q ON q.id = e.src WHERE e.dst = p.id "
+            "AND (q.p < p.p OR (q.p = p.p AND q.id < p.id))))"
+            f", used{r} AS MATERIALIZED (SELECT DISTINCT w.id, s.c "
+            f"FROM w{r} w JOIN e ON e.dst = w.id "
+            f"JOIN s{r - 1} s ON s.id = e.src WHERE s.c >= 0)"
+            f", cand{r} AS (SELECT id, 0 AS i FROM w{r} "
+            f"UNION ALL SELECT id, c + 1 AS i FROM used{r})"
+            f", mex{r} AS (SELECT cand.id, min(cand.i) AS c "
+            f"FROM cand{r} cand LEFT JOIN used{r} u "
+            "ON u.id = cand.id AND u.c = cand.i "
+            "WHERE u.id IS NULL GROUP BY cand.id)"
+            f", s{r} AS MATERIALIZED (SELECT s.id, "
+            "CASE WHEN s.c >= 0 THEN s.c "
+            "WHEN m.c IS NOT NULL THEN m.c ELSE -1 END AS c "
+            f"FROM s{r - 1} s LEFT JOIN mex{r} m ON m.id = s.id)"
+        )
+    parts.append(f" SELECT id, c AS color FROM s{rounds} ORDER BY id")
     return "".join(parts)
 
 
@@ -1255,6 +1334,46 @@ def q_mis_vertices(spark, sf_dir):  # Luby MIS, pinned md5 priorities
     return state.filter(F.col("st") == 1).select("id").orderBy("id")
 
 
+def q_link_prediction(spark, sf_dir):  # Liben-Nowell/Kleinberg indices
+    # top LINKPRED_LIMIT non-adjacent pairs of the sparse co-purchase
+    # graph by Adamic-Adar; on the bipartite graph these are
+    # customer-customer (shared suppliers) and supplier-supplier
+    # (shared customers) affinities — the link-graph form of
+    # collaborative filtering. No center cap at this scale (cap
+    # semantics are pytest-covered); ordering includes (src, dst) so
+    # the LIMIT is a total order on both sides.
+    from linkgraph.algorithms import link_prediction
+    from linkgraph.graph import Graph
+
+    g = Graph.prepare(_sparse_copurchase_edges(spark, sf_dir))
+    return (
+        link_prediction(g)
+        .select(
+            "src",
+            "dst",
+            "common",
+            F.round("jaccard", 6).alias("jaccard"),
+            F.round("adamic_adar", 6).alias("adamic_adar"),
+        )
+        .orderBy(F.desc("adamic_adar"), F.asc("src"), F.asc("dst"))
+        .limit(LINKPRED_LIMIT)
+    )
+
+
+def q_graph_coloring(spark, sf_dir):  # Jones-Plassmann, pinned md5
+    # integer-exact oracle: colors are small ints, the md5 priority is
+    # regenerated in SQL per unrolled round, and a still-uncolored -1
+    # compares equal on both sides — exactness without requiring
+    # convergence (the engine does converge here, by round ~22: the
+    # high-degree supplier side wins late, see COLOR_ROUNDS).
+    from linkgraph.algorithms import greedy_coloring
+    from linkgraph.graph import Graph
+
+    g = Graph.prepare(_sparse_copurchase_edges(spark, sf_dir))
+    state, _ = greedy_coloring(g, max_rounds=COLOR_ROUNDS)
+    return state.select("id", "color").orderBy("id")
+
+
 def q_semicluster_top1(spark, sf_dir):  # C8 flattened under a SQL oracle
     # top-1 semi-cluster per vertex after SEMI_K supersteps of the
     # pinned schedule; members flattened to a sorted concat string and
@@ -1510,6 +1629,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hits_authorities": q_hits_authorities,
         "hits_hubs": q_hits_hubs,
         "mis_vertices": q_mis_vertices,
+        "link_prediction_scores": q_link_prediction,
+        "graph_coloring": q_graph_coloring,
         "semicluster_top1": q_semicluster_top1,
         "scc_membership": q_scc_membership,
         "lpa_copurchase": q_lpa_copurchase,
@@ -1750,6 +1871,8 @@ def oracle_sql() -> dict[str, str]:
         "hits_authorities": _hits_oracle_sql(HITS_K, "auth"),
         "hits_hubs": _hits_oracle_sql(HITS_K, "hub"),
         "mis_vertices": _mis_oracle_sql(MIS_ROUNDS),
+        "link_prediction_scores": _linkpred_oracle_sql(LINKPRED_LIMIT),
+        "graph_coloring": _coloring_oracle_sql(COLOR_ROUNDS),
         "semicluster_top1": _semicluster_oracle_sql(SEMI_K),
         # SCC normal form: scc = min id of the mutual-reachability class,
         # derived from the full transitive closure (recursive CTE)

@@ -6,14 +6,18 @@ from linkgraph.algorithms.sssp import sssp
 from linkgraph.algorithms.matching import bipartite_matching
 from linkgraph.algorithms.hits import hits
 from linkgraph.algorithms.kcore import core_number, kcore
+from linkgraph.algorithms.linkpred import link_prediction
 from linkgraph.algorithms.mis import maximal_independent_set
+from linkgraph.algorithms.coloring import greedy_coloring
 from linkgraph.algorithms.semiclustering import semi_clustering
 from linkgraph.algorithms.scc import scc
 
 __all__ = [
     "core_number",
+    "greedy_coloring",
     "hits",
     "kcore",
+    "link_prediction",
     "maximal_independent_set",
     "scc",
     "semi_clustering",

@@ -109,7 +109,8 @@ def main() -> None:
     ap.add_argument("--algo", choices=["pagerank", "ppr", "components", "lpa",
                                        "triangles", "sssp", "matching",
                                        "kcore", "core-number", "semicluster",
-                                       "scc", "hits", "mis"])
+                                       "scc", "hits", "mis", "coloring",
+                                       "linkpred"])
     ap.add_argument("--corpus", help="corpus table: parquet dir (or synth:R,F)")
     ap.add_argument("--corpus-format", default="parquet",
                     choices=["parquet", "csv", "json"],
@@ -302,6 +303,18 @@ def main() -> None:
         state, info = maximal_independent_set(
             g, max_rounds=args.max_supersteps, checkpointer=ck
         )
+    elif args.algo == "coloring":
+        from linkgraph.algorithms import greedy_coloring
+
+        state, info = greedy_coloring(
+            g, max_rounds=args.max_supersteps, checkpointer=ck
+        )
+    elif args.algo == "linkpred":
+        from linkgraph.algorithms import link_prediction
+        from linkgraph.pregel import RunInfo
+
+        state = link_prediction(g)
+        info = RunInfo("linkpred", supersteps=1, converged=True)
     elif args.algo == "semicluster":
         from linkgraph.algorithms import semi_clustering
 

@@ -218,3 +218,20 @@ def test_rp_lsh_candidates_no_cartesian_and_one_kernel_pass(spark):
     plan = plan_of(q)
     assert "Cartesian" not in plan and "BroadcastNestedLoop" not in plan
     assert plan.count("MapInPandas") == 0  # both sides scan the checkpointed table
+
+
+def test_linkpred_wedge_join_no_cartesian_mapside_agg(spark, graph_builder):
+    """The wedge enumeration must be an equi-join on the center key
+    (no cartesian/BNL), and the pair scoring aggregate must have a
+    map-side partial before its exchange — the shuffle carries
+    combined (u, v) partials, not raw wedges."""
+    from linkgraph.algorithms import link_prediction
+
+    g = graph_builder([(0, 1), (0, 2), (1, 3), (2, 3), (3, 4)])
+    q = link_prediction(g)
+    plan = plan_of(q)
+    assert "Cartesian" not in plan and "BroadcastNestedLoop" not in plan
+    # partial_count deeper in the plan text than the final count = the
+    # wedge aggregate combines map-side before its exchange
+    assert "partial_count" in plan
+    assert plan.index("partial_count") > plan.index("count(1)")
