@@ -896,10 +896,15 @@ def _semicluster_oracle_sql(
     return "".join(parts)
 
 
-def _lpa_oracle_sql(iters: int) -> str:
+def _lpa_oracle_sql(iters: int, as_parts: bool = False):
     """K sync-LPA iterations as chained CTEs (argmax = row_number over
     (cnt DESC, label ASC) — the engine's pinned tie-break, §A.3).
-    Integer-exact, so the comparison is bitwise."""
+    Integer-exact, so the comparison is bitwise.
+
+    as_parts=True returns (cte_body, final_table) — the CTE list
+    without the WITH keyword or final SELECT — so composing oracles
+    (modularity-of-LPA) extend it structurally instead of string-
+    slicing rendered SQL (the r4 ADVICE pattern)."""
     parts = [
         f"WITH e AS ({_COPURCHASE_SQL}), ",
         "und AS (SELECT src, dst FROM e UNION SELECT dst AS src, src AS dst FROM e), ",
@@ -916,6 +921,9 @@ def _lpa_oracle_sql(iters: int) -> str:
             f", l{i} AS (SELECT p.id, coalesce(w.label, p.label) AS label "
             f"FROM l{i - 1} p LEFT JOIN w{i} w ON p.id = w.id)"
         )
+    if as_parts:
+        body = "".join(parts)[len("WITH ") :]
+        return body, f"l{iters}"
     parts.append(
         f" SELECT label, count(*) AS community_size FROM l{iters} GROUP BY label"
     )
@@ -1410,6 +1418,74 @@ def q_lpa_copurchase(spark, sf_dir):  # C3 sync LPA, fixed LPA_K iters
     return state.groupBy("label").agg(F.count(F.lit(1)).alias("community_size"))
 
 
+def q_graph_assortativity(spark, sf_dir):  # stats: Newman degree mixing
+    # every aggregate is an exact BIGINT moment sum; the statistic is
+    # one float expression over them, so the DuckDB compare is
+    # bit-identical before the shared round(6)
+    from linkgraph.algorithms import degree_assortativity
+    from linkgraph.graph import Graph
+
+    g = Graph.prepare(_copurchase_edges(spark, sf_dir))
+    return degree_assortativity(g).select(
+        "pairs", F.round("assortativity", 6).alias("assortativity")
+    )
+
+
+def q_lpa_modularity(spark, sf_dir):  # stats: Newman-Girvan Q of the
+    # LPA_K-iteration communities — composes the unrolled LPA oracle
+    # structurally (as_parts) with the exact-integer Q form
+    from linkgraph.algorithms import label_propagation, modularity
+    from linkgraph.graph import Graph
+
+    g = Graph.prepare(_copurchase_edges(spark, sf_dir))
+    labels, _ = label_propagation(g, max_iter=LPA_K, early_stop=False)
+    return modularity(g, labels).select(
+        "m", "communities", F.round("modularity", 6).alias("modularity")
+    )
+
+
+def _assortativity_oracle_sql() -> str:
+    return (
+        f"WITH e AS ({_COPURCHASE_SQL}), "
+        "und AS (SELECT src, dst FROM e UNION SELECT dst AS src, src AS dst FROM e), "
+        "degt AS (SELECT src AS id, count(*) AS deg FROM und GROUP BY src), "
+        "p AS (SELECT du.deg AS dx, dv.deg AS dy FROM und u "
+        "JOIN degt du ON u.src = du.id JOIN degt dv ON u.dst = dv.id), "
+        "mom AS (SELECT count(*) AS n, CAST(sum(dx) AS BIGINT) AS sx, "
+        "CAST(sum(dy) AS BIGINT) AS sy, CAST(sum(dx * dx) AS BIGINT) AS sxx, "
+        "CAST(sum(dy * dy) AS BIGINT) AS syy, "
+        "CAST(sum(dx * dy) AS BIGINT) AS sxy FROM p) "
+        "SELECT n AS pairs, round(CAST(n * sxy - sx * sy AS DOUBLE) / "
+        "(sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) * "
+        "sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 6) AS assortativity "
+        "FROM mom"
+    )
+
+
+def _modularity_oracle_sql(iters: int) -> str:
+    body, lab_t = _lpa_oracle_sql(iters, as_parts=True)
+    return (
+        "WITH " + body + ", "
+        "canon AS (SELECT src AS u, dst AS v FROM und WHERE src < dst), "
+        "degt AS (SELECT src AS id, count(*) AS deg FROM und GROUP BY src), "
+        "lab AS (SELECT d.id, coalesce(l.label, -d.id - 1) AS label, d.deg "
+        f"FROM degt d LEFT JOIN {lab_t} l ON d.id = l.id), "
+        "dsum AS (SELECT label, CAST(sum(deg) AS BIGINT) AS d_c "
+        "FROM lab GROUP BY label), "
+        "intra AS (SELECT a.label, count(*) AS l_c FROM canon c "
+        "JOIN lab a ON c.u = a.id JOIN lab b ON c.v = b.id "
+        "WHERE a.label = b.label GROUP BY a.label), "
+        "per_c AS (SELECT d.label, coalesce(i.l_c, 0) AS l_c, d.d_c "
+        "FROM dsum d LEFT JOIN intra i ON d.label = i.label), "
+        "mt AS (SELECT count(*) AS m FROM canon) "
+        "SELECT mt.m AS m, count(*) AS communities, "
+        "round(CAST(4 * mt.m * sum(per_c.l_c) - "
+        "sum(per_c.d_c * per_c.d_c) AS DOUBLE) / "
+        "CAST(4 * mt.m * mt.m AS DOUBLE), 6) AS modularity "
+        "FROM per_c, mt GROUP BY mt.m"
+    )
+
+
 def q_minhash_lsh_candidates(spark, sf_dir):  # pipeline: MinHash+LSH near-dup
     # hash_mode="portable" (md5-prefix 60-bit) so the FULL candidate
     # set is integer-exactly reproducible by the DuckDB oracle;
@@ -1634,6 +1710,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semicluster_top1": q_semicluster_top1,
         "scc_membership": q_scc_membership,
         "lpa_copurchase": q_lpa_copurchase,
+        "graph_assortativity": q_graph_assortativity,
+        "lpa_modularity": q_lpa_modularity,
         "minhash_lsh_candidates": q_minhash_lsh_candidates,
         "near_dup_pipeline": q_near_dup_pipeline,
         "jaccard_verified_pairs": q_jaccard_verified_pairs,
@@ -1892,6 +1970,8 @@ def oracle_sql() -> dict[str, str]:
         "pagerank_hot_broadcast": _pagerank_oracle_sql(PR_K),
         "pagerank_csr_kernel": _pagerank_oracle_sql(PR_K),
         "lpa_copurchase": _lpa_oracle_sql(LPA_K),
+        "graph_assortativity": _assortativity_oracle_sql(),
+        "lpa_modularity": _modularity_oracle_sql(LPA_K),
         "minhash_lsh_candidates": _minhash_oracle_sql(),
         "near_dup_pipeline": _minhash_oracle_sql(
             dedup_first=True, max_bucket_size=10

@@ -11,9 +11,12 @@ from linkgraph.algorithms.mis import maximal_independent_set
 from linkgraph.algorithms.coloring import greedy_coloring
 from linkgraph.algorithms.semiclustering import semi_clustering
 from linkgraph.algorithms.scc import scc
+from linkgraph.algorithms.stats import degree_assortativity, modularity
 
 __all__ = [
     "core_number",
+    "degree_assortativity",
+    "modularity",
     "greedy_coloring",
     "hits",
     "kcore",

@@ -110,7 +110,8 @@ def main() -> None:
                                        "triangles", "sssp", "matching",
                                        "kcore", "core-number", "semicluster",
                                        "scc", "hits", "mis", "coloring",
-                                       "linkpred"])
+                                       "linkpred", "assortativity",
+                                       "modularity"])
     ap.add_argument("--corpus", help="corpus table: parquet dir (or synth:R,F)")
     ap.add_argument("--corpus-format", default="parquet",
                     choices=["parquet", "csv", "json"],
@@ -315,6 +316,25 @@ def main() -> None:
 
         state = link_prediction(g)
         info = RunInfo("linkpred", supersteps=1, converged=True)
+    elif args.algo == "assortativity":
+        from linkgraph.algorithms import degree_assortativity
+        from linkgraph.pregel import RunInfo
+
+        state = degree_assortativity(g)
+        info = RunInfo("assortativity", supersteps=1, converged=True)
+    elif args.algo == "modularity":
+        # Q of the LPA communities at --max-supersteps iterations
+        from linkgraph.algorithms import label_propagation, modularity
+        from linkgraph.pregel import RunInfo
+
+        labels, linfo = label_propagation(
+            g, max_iter=args.max_supersteps, checkpointer=ck
+        )
+        state = modularity(g, labels)
+        info = RunInfo(
+            "modularity", supersteps=linfo.supersteps,
+            converged=linfo.converged,
+        )
     elif args.algo == "semicluster":
         from linkgraph.algorithms import semi_clustering
 

@@ -92,8 +92,12 @@ def test_aggregates_visible_to_next_step(graph_builder):
     spec = PregelSpec(**{**base.__dict__, "step": spying_step})
     g = graph_builder([(0, 1), (1, 2)])
     pregel_run(g, spec, max_supersteps=50)
-    assert seen[0] == {}  # superstep 1 has no prior aggregates
-    assert all("val_sum" in a for a in seen[1:])
+    # superstep 1 has no prior USER aggregates — only the reserved
+    # _superstep key the engine always exposes (paper §2's "compute()
+    # can query the superstep"; added r5 for MIS/coloring priorities)
+    assert seen[0] == {"_superstep": 0}
+    assert all("val_sum" in a and a["_superstep"] == i + 1
+               for i, a in enumerate(seen[1:]))
 
 
 def test_mutation_add_edge_merges_components(spark, graph_builder):
