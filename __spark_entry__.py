@@ -471,6 +471,7 @@ COLOR_ROUNDS = 24  # Jones-Plassmann rounds unrolled in the coloring
 LINKPRED_LIMIT = 100  # top pairs kept by the link-prediction entry,
 #              totally ordered by (rounded adamic_adar desc, src, dst)
 CONTAM_K = 8  # shingle width of the decontamination driver entry
+WALK_K = 4  # steps per walk unrolled in the random-walk oracle
 CONTAM_THRESHOLD = 0.2  # min fraction of an eval doc's shingles found
 #              in a training doc; 0.2 yields 68 flagged pairs on the
 #              synthetic sf0.01 docs (0.8 yields zero — a vacuous
@@ -1444,6 +1445,49 @@ def q_lpa_modularity(spark, sf_dir):  # stats: Newman-Girvan Q of the
     )
 
 
+def q_random_walks(spark, sf_dir):  # walks: DeepWalk-style sampling,
+    # pinned md5 draws (portable mode) so every step of every walk is
+    # integer-exactly reproduced by the unrolled SQL twin
+    from linkgraph.algorithms import random_walks
+    from linkgraph.graph import Graph
+
+    g = Graph.prepare(_sparse_copurchase_edges(spark, sf_dir))
+    return random_walks(g, walk_length=WALK_K, hash_mode="portable")
+
+
+def _walks_oracle_sql(k: int) -> str:
+    """WALK_K deterministic walk steps unrolled: per round, each walk
+    moves to the neighbor minimizing (portable-md5(walk:t:n:0), n) —
+    row_number over that order = the engine's min(struct) pick."""
+
+    def h(t: int) -> str:
+        return (
+            "CAST('0x' || substr(md5(CAST(w.walk AS VARCHAR) || "
+            f"':{t}:' || CAST(u.dst AS VARCHAR) || ':0'), 1, 15) AS BIGINT)"
+        )
+
+    parts = [
+        f"WITH e AS ({_SPARSE_COPURCHASE_SQL}), ",
+        "und AS (SELECT src, dst FROM e UNION SELECT dst AS src, src AS dst FROM e), ",
+        "w0 AS (SELECT src AS walk, src AS v FROM und GROUP BY src)",
+    ]
+    for t in range(1, k + 1):
+        prev = "w0" if t == 1 else f"s{t - 1}"
+        parts.append(
+            f", s{t} AS MATERIALIZED (SELECT walk, v FROM ("
+            f"SELECT w.walk, u.dst AS v, row_number() OVER ("
+            f"PARTITION BY w.walk ORDER BY {h(t)}, u.dst) AS rn "
+            f"FROM {prev} w JOIN und u ON w.v = u.src) t{t} WHERE rn = 1)"
+        )
+    sel = ["SELECT walk, 0 AS step, v AS vertex FROM w0"]
+    sel += [
+        f"SELECT walk, {t} AS step, v AS vertex FROM s{t}"
+        for t in range(1, k + 1)
+    ]
+    parts.append(" " + " UNION ALL ".join(sel))
+    return "".join(parts)
+
+
 def _assortativity_oracle_sql() -> str:
     return (
         f"WITH e AS ({_COPURCHASE_SQL}), "
@@ -1712,6 +1756,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lpa_copurchase": q_lpa_copurchase,
         "graph_assortativity": q_graph_assortativity,
         "lpa_modularity": q_lpa_modularity,
+        "random_walks_sample": q_random_walks,
         "minhash_lsh_candidates": q_minhash_lsh_candidates,
         "near_dup_pipeline": q_near_dup_pipeline,
         "jaccard_verified_pairs": q_jaccard_verified_pairs,
@@ -1972,6 +2017,7 @@ def oracle_sql() -> dict[str, str]:
         "lpa_copurchase": _lpa_oracle_sql(LPA_K),
         "graph_assortativity": _assortativity_oracle_sql(),
         "lpa_modularity": _modularity_oracle_sql(LPA_K),
+        "random_walks_sample": _walks_oracle_sql(WALK_K),
         "minhash_lsh_candidates": _minhash_oracle_sql(),
         "near_dup_pipeline": _minhash_oracle_sql(
             dedup_first=True, max_bucket_size=10

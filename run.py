@@ -111,7 +111,7 @@ def main() -> None:
                                        "kcore", "core-number", "semicluster",
                                        "scc", "hits", "mis", "coloring",
                                        "linkpred", "assortativity",
-                                       "modularity"])
+                                       "modularity", "walks"])
     ap.add_argument("--corpus", help="corpus table: parquet dir (or synth:R,F)")
     ap.add_argument("--corpus-format", default="parquet",
                     choices=["parquet", "csv", "json"],
@@ -316,6 +316,16 @@ def main() -> None:
 
         state = link_prediction(g)
         info = RunInfo("linkpred", supersteps=1, converged=True)
+    elif args.algo == "walks":
+        # deterministic DeepWalk-style sampling; walk length rides
+        # --max-supersteps
+        from linkgraph.algorithms import random_walks
+        from linkgraph.pregel import RunInfo
+
+        state = random_walks(g, walk_length=args.max_supersteps)
+        info = RunInfo(
+            "walks", supersteps=args.max_supersteps, converged=True
+        )
     elif args.algo == "assortativity":
         from linkgraph.algorithms import degree_assortativity
         from linkgraph.pregel import RunInfo
