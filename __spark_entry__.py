@@ -472,6 +472,10 @@ LINKPRED_LIMIT = 100  # top pairs kept by the link-prediction entry,
 #              totally ordered by (rounded adamic_adar desc, src, dst)
 CONTAM_K = 8  # shingle width of the decontamination driver entry
 WALK_K = 4  # steps per walk unrolled in the random-walk oracle
+KTRUSS_T = 13  # k of the k-truss driver entry
+KTRUSS_CAP = 6  # peel rounds unrolled in the truss oracle (engine
+#   converges in ~4 on the fixture; peeling is deterministic and
+#   monotone, so any shared cap at/past convergence compares exact)
 CONTAM_THRESHOLD = 0.2  # min fraction of an eval doc's shingles found
 #              in a training doc; 0.2 yields 68 flagged pairs on the
 #              synthetic sf0.01 docs (0.8 yields zero — a vacuous
@@ -1445,6 +1449,67 @@ def q_lpa_modularity(spark, sf_dir):  # stats: Newman-Girvan Q of the
     )
 
 
+def _truss_cosupply_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-supply graph sparsified by the portable md5 hash (kills the
+    algebraic residue classes a mod predicate would leave) with the
+    u,v ≡ 0 (mod 7) supplier clique kept dense — the background peels
+    away over several rounds while the planted core survives, so the
+    truss fixture exercises a real cascade AND a non-empty result."""
+    from linkgraph.pipeline.dedup import hash64
+
+    cs = _cosupply_edges(spark, sf_dir)
+    h = hash64(
+        F.concat_ws(":", F.col("u").cast("string"), F.col("v").cast("string")),
+        mode="portable",
+    )
+    return cs.filter(
+        (h % 3 == 0) | ((F.col("u") % 7 == 0) & (F.col("v") % 7 == 0))
+    )
+
+
+def q_ktruss_edges(spark, sf_dir):  # Cohen 2008 k-truss via peeling
+    from linkgraph.algorithms import ktruss
+    from linkgraph.graph import Graph
+
+    e = _truss_cosupply_edges(spark, sf_dir).select(
+        F.col("u").alias("src"), F.col("v").alias("dst")
+    )
+    g = Graph.prepare(e)
+    kept, _ = ktruss(g, KTRUSS_T, max_rounds=KTRUSS_CAP)
+    return kept
+
+
+def _ktruss_oracle_sql(k: int, rounds: int) -> str:
+    """`rounds` peel rounds unrolled: per round triangle support from a
+    3-way self-join on the surviving a<b<c edge set, then the < k-2
+    filter. MATERIALIZED per round (DuckDB re-inlines multiply-
+    referenced CTEs otherwise)."""
+    hash_expr = _md5num("CAST(u AS VARCHAR) || ':' || CAST(v AS VARCHAR)")
+    parts = [
+        "WITH ps AS (SELECT DISTINCT l_partkey AS pk, l_suppkey AS s FROM lineitem), "
+        "cs AS (SELECT DISTINCT a.s AS u, b.s AS v FROM ps a JOIN ps b "
+        "ON a.pk = b.pk AND a.s < b.s), "
+        f"e0 AS MATERIALIZED (SELECT u, v FROM cs WHERE {hash_expr} % 3 = 0 "
+        "OR (u % 7 = 0 AND v % 7 = 0))"
+    ]
+    for i in range(1, rounds + 1):
+        p = f"e{i - 1}"
+        parts.append(
+            f", t{i} AS MATERIALIZED (SELECT a.u AS x, a.v AS y, b.v AS z "
+            f"FROM {p} a JOIN {p} b ON a.u = b.u AND a.v < b.v "
+            f"JOIN {p} c ON c.u = a.v AND c.v = b.v)"
+            f", s{i} AS MATERIALIZED (SELECT u, v, count(*) AS supp FROM ("
+            f"SELECT x AS u, y AS v FROM t{i} UNION ALL "
+            f"SELECT x AS u, z AS v FROM t{i} UNION ALL "
+            f"SELECT y AS u, z AS v FROM t{i}) q GROUP BY u, v)"
+            f", e{i} AS MATERIALIZED (SELECT e.u, e.v FROM {p} e "
+            f"LEFT JOIN s{i} s ON e.u = s.u AND e.v = s.v "
+            f"WHERE coalesce(s.supp, 0) >= {k - 2})"
+        )
+    parts.append(f" SELECT u, v FROM e{rounds}")
+    return "".join(parts)
+
+
 def q_random_walks(spark, sf_dir):  # walks: DeepWalk-style sampling,
     # pinned md5 draws (portable mode) so every step of every walk is
     # integer-exactly reproduced by the unrolled SQL twin
@@ -1757,6 +1822,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_assortativity": q_graph_assortativity,
         "lpa_modularity": q_lpa_modularity,
         "random_walks_sample": q_random_walks,
+        "ktruss_edges": q_ktruss_edges,
         "minhash_lsh_candidates": q_minhash_lsh_candidates,
         "near_dup_pipeline": q_near_dup_pipeline,
         "jaccard_verified_pairs": q_jaccard_verified_pairs,
@@ -2018,6 +2084,7 @@ def oracle_sql() -> dict[str, str]:
         "graph_assortativity": _assortativity_oracle_sql(),
         "lpa_modularity": _modularity_oracle_sql(LPA_K),
         "random_walks_sample": _walks_oracle_sql(WALK_K),
+        "ktruss_edges": _ktruss_oracle_sql(KTRUSS_T, KTRUSS_CAP),
         "minhash_lsh_candidates": _minhash_oracle_sql(),
         "near_dup_pipeline": _minhash_oracle_sql(
             dedup_first=True, max_bucket_size=10

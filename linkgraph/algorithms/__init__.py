@@ -12,12 +12,14 @@ from linkgraph.algorithms.coloring import greedy_coloring
 from linkgraph.algorithms.semiclustering import semi_clustering
 from linkgraph.algorithms.scc import scc
 from linkgraph.algorithms.stats import degree_assortativity, modularity
+from linkgraph.algorithms.truss import ktruss
 from linkgraph.algorithms.walks import random_walks
 
 __all__ = [
     "core_number",
     "degree_assortativity",
     "modularity",
+    "ktruss",
     "random_walks",
     "greedy_coloring",
     "hits",

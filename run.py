@@ -111,7 +111,7 @@ def main() -> None:
                                        "kcore", "core-number", "semicluster",
                                        "scc", "hits", "mis", "coloring",
                                        "linkpred", "assortativity",
-                                       "modularity", "walks"])
+                                       "modularity", "walks", "ktruss"])
     ap.add_argument("--corpus", help="corpus table: parquet dir (or synth:R,F)")
     ap.add_argument("--corpus-format", default="parquet",
                     choices=["parquet", "csv", "json"],
@@ -140,7 +140,7 @@ def main() -> None:
     ap.add_argument("--source", type=int, default=0, help="sssp source vertex")
     ap.add_argument("--sources", default=None,
                     help="ppr teleport set: comma-separated vertex ids")
-    ap.add_argument("--k", type=int, default=3, help="kcore: the k")
+    ap.add_argument("--k", type=int, default=3, help="kcore/ktruss: the k")
     ap.add_argument("--c-max", type=int, default=2,
                     help="semicluster: clusters kept per vertex")
     ap.add_argument("--m-max", type=int, default=4,
@@ -316,6 +316,10 @@ def main() -> None:
 
         state = link_prediction(g)
         info = RunInfo("linkpred", supersteps=1, converged=True)
+    elif args.algo == "ktruss":
+        from linkgraph.algorithms import ktruss
+
+        state, info = ktruss(g, args.k, max_rounds=args.max_supersteps)
     elif args.algo == "walks":
         # deterministic DeepWalk-style sampling; walk length rides
         # --max-supersteps
