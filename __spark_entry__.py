@@ -472,6 +472,9 @@ LINKPRED_LIMIT = 100  # top pairs kept by the link-prediction entry,
 #              totally ordered by (rounded adamic_adar desc, src, dst)
 CONTAM_K = 8  # shingle width of the decontamination driver entry
 WALK_K = 4  # steps per walk unrolled in the random-walk oracle
+LAND_L = 4  # landmarks of the landmark-centrality driver entry
+LAND_H = 6  # BFS hops unrolled in its oracle (both sides cap at H,
+#   so the compare is exact whether or not the frontier drained)
 KTRUSS_T = 13  # k of the k-truss driver entry
 KTRUSS_CAP = 6  # peel rounds unrolled in the truss oracle (engine
 #   converges in ~4 on the fixture; peeling is deterministic and
@@ -1510,6 +1513,57 @@ def _ktruss_oracle_sql(k: int, rounds: int) -> str:
     return "".join(parts)
 
 
+def q_landmark_centrality(spark, sf_dir):  # Eppstein-Wang pivot BFS
+    from linkgraph.algorithms import landmark_centrality
+    from linkgraph.graph import Graph
+
+    g = Graph.prepare(_sparse_copurchase_edges(spark, sf_dir))
+    out, _ = landmark_centrality(g, num_landmarks=LAND_L, max_hops=LAND_H)
+    return out.select(
+        "id",
+        "reached",
+        "sum_dist",
+        F.round("harmonic", 6).alias("harmonic"),
+        F.round("closeness", 6).alias("closeness"),
+    )
+
+
+def _landmark_oracle_sql(num_landmarks: int, hops: int) -> str:
+    """Multi-source BFS unrolled hop by hop: frontier = new (lm, v)
+    pairs (NOT EXISTS vs the known set), known accumulates with the
+    hop distance; centrality aggregates exclude the d=0 self rows."""
+    parts = [
+        f"WITH e AS ({_SPARSE_COPURCHASE_SQL}), "
+        "und AS (SELECT src, dst FROM e UNION SELECT dst AS src, src AS dst FROM e), "
+        "degt AS (SELECT src AS id, count(*) AS d FROM und GROUP BY src), "
+        f"lmt AS (SELECT id AS lm FROM degt ORDER BY d DESC, id ASC LIMIT {num_landmarks}), "
+        "f0 AS (SELECT lm, lm AS v FROM lmt), "
+        "k0 AS (SELECT lm, v, 0 AS d FROM f0)"
+    ]
+    for h in range(1, hops + 1):
+        parts.append(
+            f", f{h} AS MATERIALIZED (SELECT DISTINCT f.lm, u.dst AS v "
+            f"FROM f{h - 1} f JOIN und u ON f.v = u.src "
+            f"WHERE NOT EXISTS (SELECT 1 FROM k{h - 1} k "
+            "WHERE k.lm = f.lm AND k.v = u.dst))"
+            f", k{h} AS MATERIALIZED (SELECT * FROM k{h - 1} "
+            f"UNION ALL SELECT lm, v, {h} AS d FROM f{h})"
+        )
+    parts.append(
+        ", s AS (SELECT v AS id, count(*) AS reached, "
+        "CAST(sum(d) AS BIGINT) AS sum_dist, "
+        "sum(CAST(1 AS DOUBLE) / d) AS harmonic "
+        f"FROM k{hops} WHERE d > 0 GROUP BY v) "
+        "SELECT degt.id, coalesce(s.reached, 0) AS reached, "
+        "coalesce(s.sum_dist, 0) AS sum_dist, "
+        "round(coalesce(s.harmonic, 0.0), 6) AS harmonic, "
+        "round(CASE WHEN coalesce(s.sum_dist, 0) > 0 "
+        "THEN CAST(s.reached AS DOUBLE) / s.sum_dist ELSE 0.0 END, 6) "
+        "AS closeness FROM degt LEFT JOIN s ON degt.id = s.id"
+    )
+    return "".join(parts)
+
+
 def q_random_walks(spark, sf_dir):  # walks: DeepWalk-style sampling,
     # pinned md5 draws (portable mode) so every step of every walk is
     # integer-exactly reproduced by the unrolled SQL twin
@@ -1823,6 +1877,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lpa_modularity": q_lpa_modularity,
         "random_walks_sample": q_random_walks,
         "ktruss_edges": q_ktruss_edges,
+        "landmark_centrality": q_landmark_centrality,
         "minhash_lsh_candidates": q_minhash_lsh_candidates,
         "near_dup_pipeline": q_near_dup_pipeline,
         "jaccard_verified_pairs": q_jaccard_verified_pairs,
@@ -2085,6 +2140,7 @@ def oracle_sql() -> dict[str, str]:
         "lpa_modularity": _modularity_oracle_sql(LPA_K),
         "random_walks_sample": _walks_oracle_sql(WALK_K),
         "ktruss_edges": _ktruss_oracle_sql(KTRUSS_T, KTRUSS_CAP),
+        "landmark_centrality": _landmark_oracle_sql(LAND_L, LAND_H),
         "minhash_lsh_candidates": _minhash_oracle_sql(),
         "near_dup_pipeline": _minhash_oracle_sql(
             dedup_first=True, max_bucket_size=10

@@ -12,6 +12,11 @@ from linkgraph.algorithms.coloring import greedy_coloring
 from linkgraph.algorithms.semiclustering import semi_clustering
 from linkgraph.algorithms.scc import scc
 from linkgraph.algorithms.stats import degree_assortativity, modularity
+from linkgraph.algorithms.centrality import (
+    landmark_centrality,
+    landmark_distances,
+    pick_landmarks,
+)
 from linkgraph.algorithms.truss import ktruss
 from linkgraph.algorithms.walks import random_walks
 
@@ -20,6 +25,9 @@ __all__ = [
     "degree_assortativity",
     "modularity",
     "ktruss",
+    "landmark_centrality",
+    "landmark_distances",
+    "pick_landmarks",
     "random_walks",
     "greedy_coloring",
     "hits",

@@ -1,0 +1,141 @@
+"""Landmark (pivot) BFS distances and closeness/harmonic centrality.
+
+Reference semantics: the reference snapshot is empty (SURVEY §0);
+semantics are pinned to the published landmark approximation of
+closeness (Eppstein & Wang 2004; harmonic form per Boldi & Vigna
+2014): pick L pivot vertices, run one multi-source BFS over the
+undirected simple graph, and score every vertex from its distances to
+the pivots it can reach:
+
+    reached(v)  = |{ lm : 0 < d(v, lm) }|          (self excluded)
+    sum_dist(v) = Σ d(v, lm)
+    harmonic(v) = Σ 1 / d(v, lm)
+    closeness(v) = reached / sum_dist   (0.0 when nothing is reached)
+
+Pivot choice is pinned deterministic: the L highest-degree vertices,
+ties broken by ascending id — reproducible across runs and by an
+ANSI-SQL oracle (no sampling RNG).
+
+Spark shape: the BFS state is the (landmark, vertex) pair relation —
+L·|V| rows at completion, fine for the small L (16–64) the
+approximation calls for. Per hop: frontier ⋈ edges keyed on the
+vertex id (reusing the graph partitioning), distinct, and an anti-join
+against the known set — the exact frontier discipline of the SSSP/
+components specs, with the landmark id riding along as part of the
+key. The known set is localCheckpointed each hop so plan depth stays
+constant. Per-hop actions: one emptiness count.
+
+Scale: a 100 TB graph runs this with L≪|V| landmarks; all shuffles
+are keyed on (vertex) or (landmark, vertex) — no |V|² term. BFS depth
+is capped by `max_hops` (both the engine and the driver oracle cap at
+the same H, so the compare is exact whether or not the frontier
+drained first — an empty frontier makes further hops no-ops).
+"""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from linkgraph.graph import Graph, symmetrize
+from linkgraph.pregel import RunInfo
+
+
+def pick_landmarks(graph: Graph, num_landmarks: int) -> DataFrame:
+    """(lm) — the num_landmarks highest-degree vertices of the
+    symmetrized graph, ties by ascending id."""
+    und = symmetrize(graph.edges)
+    deg = und.groupBy(F.col("src").alias("id")).agg(
+        F.count(F.lit(1)).alias("d")
+    )
+    return (
+        deg.orderBy(F.desc("d"), F.asc("id"))
+        .limit(num_landmarks)
+        .select(F.col("id").alias("lm"))
+    )
+
+
+def landmark_distances(
+    graph: Graph,
+    num_landmarks: int = 16,
+    max_hops: int = 32,
+    landmarks: DataFrame | None = None,
+) -> tuple[DataFrame, RunInfo]:
+    """Returns ((lm, v, d) hop distances for every reached pair
+    including d=0 self rows, RunInfo)."""
+    und = symmetrize(graph.edges).persist()
+    lms = landmarks if landmarks is not None else pick_landmarks(graph, num_landmarks)
+    frontier = lms.select("lm", F.col("lm").alias("v")).persist()
+    known = frontier.select("lm", "v", F.lit(0).alias("d")).localCheckpoint(
+        eager=True
+    )
+    info = RunInfo("landmark_bfs")
+    t0 = time.monotonic()
+    h = 0
+    while h < max_hops:
+        h += 1
+        nxt = (
+            frontier.join(und, frontier["v"] == und["src"])
+            .select("lm", F.col("dst").alias("v"))
+            .distinct()
+            .join(known.select("lm", "v"), ["lm", "v"], "left_anti")
+            .localCheckpoint(eager=True)
+        )
+        n = nxt.count()
+        frontier.unpersist()
+        if n == 0:
+            info.converged = True
+            break
+        known = known.unionByName(
+            nxt.select("lm", "v", F.lit(h).alias("d"))
+        ).localCheckpoint(eager=True)
+        frontier = nxt
+        info.record(h, t0, active=n)
+    und.unpersist()
+    info.supersteps = info.log[-1].superstep if info.log else 0
+    info.wall_s = round(time.monotonic() - t0, 3)
+    return known, info
+
+
+def landmark_centrality(
+    graph: Graph,
+    num_landmarks: int = 16,
+    max_hops: int = 32,
+    landmarks: DataFrame | None = None,
+) -> tuple[DataFrame, RunInfo]:
+    """Returns ((id, reached, sum_dist, harmonic, closeness) for EVERY
+    graph vertex — unreachable ones score 0 —, RunInfo).
+
+    closeness = reached / sum_dist is one float division of exact
+    BIGINTs; harmonic = Σ 1/d is a float sum over ≤ L terms (callers
+    round for cross-engine compares)."""
+    dist, info = landmark_distances(
+        graph, num_landmarks, max_hops, landmarks=landmarks
+    )
+    scores = (
+        dist.filter(F.col("d") > 0)
+        .groupBy(F.col("v").alias("id"))
+        .agg(
+            F.count(F.lit(1)).alias("reached"),
+            F.sum("d").alias("sum_dist"),
+            F.sum(F.lit(1.0) / F.col("d")).alias("harmonic"),
+        )
+    )
+    out = (
+        graph.vertices.join(scores, "id", "left")
+        .select(
+            "id",
+            F.coalesce("reached", F.lit(0)).alias("reached"),
+            F.coalesce("sum_dist", F.lit(0)).alias("sum_dist"),
+            F.coalesce("harmonic", F.lit(0.0)).alias("harmonic"),
+            F.when(
+                F.coalesce("sum_dist", F.lit(0)) > 0,
+                F.col("reached").cast("double") / F.col("sum_dist"),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("closeness"),
+        )
+    )
+    return out, info

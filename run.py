@@ -111,7 +111,8 @@ def main() -> None:
                                        "kcore", "core-number", "semicluster",
                                        "scc", "hits", "mis", "coloring",
                                        "linkpred", "assortativity",
-                                       "modularity", "walks", "ktruss"])
+                                       "modularity", "walks", "ktruss",
+                                       "centrality"])
     ap.add_argument("--corpus", help="corpus table: parquet dir (or synth:R,F)")
     ap.add_argument("--corpus-format", default="parquet",
                     choices=["parquet", "csv", "json"],
@@ -316,6 +317,14 @@ def main() -> None:
 
         state = link_prediction(g)
         info = RunInfo("linkpred", supersteps=1, converged=True)
+    elif args.algo == "centrality":
+        # landmark closeness/harmonic; landmark count rides --k,
+        # BFS depth rides --max-supersteps
+        from linkgraph.algorithms import landmark_centrality
+
+        state, info = landmark_centrality(
+            g, num_landmarks=args.k, max_hops=args.max_supersteps
+        )
     elif args.algo == "ktruss":
         from linkgraph.algorithms import ktruss
 
