@@ -472,6 +472,9 @@ LINKPRED_LIMIT = 100  # top pairs kept by the link-prediction entry,
 #              totally ordered by (rounded adamic_adar desc, src, dst)
 CONTAM_K = 8  # shingle width of the decontamination driver entry
 WALK_K = 4  # steps per walk unrolled in the random-walk oracle
+SAMP_FRAC = 0.3  # Bernoulli fraction of the hash-sample driver entry
+SAMP_STRAT = 0.2  # per-stratum fraction of the stratified entry
+SAMP_SEED = 5  # sampling hash seed
 LAND_L = 4  # landmarks of the landmark-centrality driver entry
 LAND_H = 6  # BFS hops unrolled in its oracle (both sides cap at H,
 #   so the compare is exact whether or not the frontier drained)
@@ -1513,6 +1516,47 @@ def _ktruss_oracle_sql(k: int, rounds: int) -> str:
     return "".join(parts)
 
 
+def q_doc_sample_hash(spark, sf_dir):  # pipeline: Bernoulli-by-hash
+    # map-side filter, no shuffle — the only sampling shape that works
+    # at 10^12 rows; portable mode so the kept set is integer-exact
+    from linkgraph.pipeline import sample_hash
+
+    docs = _t(spark, sf_dir, "documents")
+    return sample_hash(
+        docs, SAMP_FRAC, "doc_id", seed=SAMP_SEED, hash_mode="portable"
+    ).select("doc_id", "lang")
+
+
+def q_doc_sample_stratified(spark, sf_dir):  # pipeline: exact-count
+    # per-language sample: ceil(frac*n) smallest (hash, id) per stratum
+    from linkgraph.pipeline import sample_stratified
+
+    docs = _t(spark, sf_dir, "documents")
+    return sample_stratified(
+        docs, SAMP_STRAT, "lang", "doc_id", seed=SAMP_SEED,
+        hash_mode="portable",
+    ).select("doc_id", "lang")
+
+
+def _sample_oracle_sql() -> tuple[str, str]:
+    """(hash-sample SQL, stratified SQL) sharing the seeded md5 draw."""
+    draw = _md5num(f"CAST(doc_id AS VARCHAR) || ':{SAMP_SEED}'")
+    from linkgraph.pipeline.sampling import hash_threshold
+
+    bern = (
+        f"SELECT doc_id, lang FROM documents WHERE {draw} < "
+        f"{hash_threshold(SAMP_FRAC)}"
+    )
+    strat = (
+        f"WITH r AS (SELECT doc_id, lang, row_number() OVER ("
+        f"PARTITION BY lang ORDER BY {draw}, doc_id) AS rn, "
+        "count(*) OVER (PARTITION BY lang) AS n FROM documents) "
+        f"SELECT doc_id, lang FROM r "
+        f"WHERE rn <= ceil(CAST({SAMP_STRAT} AS DOUBLE) * n)"
+    )
+    return bern, strat
+
+
 def q_landmark_centrality(spark, sf_dir):  # Eppstein-Wang pivot BFS
     from linkgraph.algorithms import landmark_centrality
     from linkgraph.graph import Graph
@@ -1878,6 +1922,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "random_walks_sample": q_random_walks,
         "ktruss_edges": q_ktruss_edges,
         "landmark_centrality": q_landmark_centrality,
+        "doc_sample_hash": q_doc_sample_hash,
+        "doc_sample_stratified": q_doc_sample_stratified,
         "minhash_lsh_candidates": q_minhash_lsh_candidates,
         "near_dup_pipeline": q_near_dup_pipeline,
         "jaccard_verified_pairs": q_jaccard_verified_pairs,
@@ -2141,6 +2187,8 @@ def oracle_sql() -> dict[str, str]:
         "random_walks_sample": _walks_oracle_sql(WALK_K),
         "ktruss_edges": _ktruss_oracle_sql(KTRUSS_T, KTRUSS_CAP),
         "landmark_centrality": _landmark_oracle_sql(LAND_L, LAND_H),
+        "doc_sample_hash": _sample_oracle_sql()[0],
+        "doc_sample_stratified": _sample_oracle_sql()[1],
         "minhash_lsh_candidates": _minhash_oracle_sql(),
         "near_dup_pipeline": _minhash_oracle_sql(
             dedup_first=True, max_bucket_size=10

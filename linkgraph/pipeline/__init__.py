@@ -32,8 +32,14 @@ from linkgraph.pipeline.textstats import (
     language_id,
     fingerprint_col,
 )
+from linkgraph.pipeline.sampling import (
+    sample_hash,
+    sample_stratified,
+)
 
 __all__ = [
+    "sample_hash",
+    "sample_stratified",
     "exact_duplicates",
     "dedup_exact",
     "shingles",
