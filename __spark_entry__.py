@@ -472,6 +472,8 @@ LINKPRED_LIMIT = 100  # top pairs kept by the link-prediction entry,
 #              totally ordered by (rounded adamic_adar desc, src, dst)
 CONTAM_K = 8  # shingle width of the decontamination driver entry
 WALK_K = 4  # steps per walk unrolled in the random-walk oracle
+BC_SRC = 3  # pivot sources of the betweenness driver entry
+BC_H = 6  # forward hops / backward levels unrolled in its oracle
 SAMP_FRAC = 0.3  # Bernoulli fraction of the hash-sample driver entry
 SAMP_STRAT = 0.2  # per-stratum fraction of the stratified entry
 SAMP_SEED = 5  # sampling hash seed
@@ -1516,6 +1518,65 @@ def _ktruss_oracle_sql(k: int, rounds: int) -> str:
     return "".join(parts)
 
 
+def q_betweenness(spark, sf_dir):  # Brandes-Pich sampled betweenness
+    from linkgraph.algorithms import betweenness
+    from linkgraph.graph import Graph
+
+    g = Graph.prepare(_sparse_copurchase_edges(spark, sf_dir))
+    out, _ = betweenness(g, num_sources=BC_SRC, max_hops=BC_H)
+    return out.select("id", F.round("betweenness", 6).alias("betweenness"))
+
+
+def _betweenness_oracle_sql(num_sources: int, hops: int) -> str:
+    """Brandes' two passes unrolled: forward σ-BFS (the path-count
+    recurrence is the per-hop GROUP BY SUM), then dependency
+    accumulation level by level from deepest-1 down — dl{lev} holds
+    δ for vertices AT level lev, reading δ of level lev+1 from
+    dl{lev+1}. Levels past the true BFS depth are empty no-ops, so a
+    fixed unroll compares exact."""
+    parts = [
+        f"WITH e AS ({_SPARSE_COPURCHASE_SQL}), "
+        "und AS (SELECT src, dst FROM e UNION SELECT dst AS src, src AS dst FROM e), "
+        "degt AS (SELECT src AS id, count(*) AS d FROM und GROUP BY src), "
+        f"lmt AS (SELECT id FROM degt ORDER BY d DESC, id ASC LIMIT {num_sources}), "
+        "f0 AS (SELECT id AS s, id AS v, CAST(1 AS BIGINT) AS sigma FROM lmt), "
+        "k0 AS (SELECT s, v, 0 AS d, sigma FROM f0)"
+    ]
+    for h in range(1, hops + 1):
+        parts.append(
+            f", f{h} AS MATERIALIZED (SELECT f.s, u.dst AS v, "
+            "CAST(sum(f.sigma) AS BIGINT) AS sigma "
+            f"FROM f{h - 1} f JOIN und u ON f.v = u.src "
+            f"WHERE NOT EXISTS (SELECT 1 FROM k{h - 1} k "
+            "WHERE k.s = f.s AND k.v = u.dst) GROUP BY f.s, u.dst)"
+            f", k{h} AS MATERIALIZED (SELECT * FROM k{h - 1} "
+            f"UNION ALL SELECT s, v, {h} AS d, sigma FROM f{h})"
+        )
+    parts.append(
+        f", dl{hops} AS (SELECT s, v, CAST(0 AS DOUBLE) AS delta "
+        f"FROM k{hops} WHERE 1 = 0)"
+    )
+    for lev in range(hops - 1, -1, -1):
+        parts.append(
+            f", dl{lev} AS MATERIALIZED (SELECT a.s, a.v, "
+            "sum(CAST(a.sigma AS DOUBLE) / b.sigma * "
+            "(1 + coalesce(d2.delta, 0))) AS delta "
+            f"FROM k{hops} a JOIN und u ON a.v = u.src "
+            f"JOIN k{hops} b ON b.s = a.s AND b.v = u.dst AND b.d = {lev + 1} "
+            f"LEFT JOIN dl{lev + 1} d2 ON d2.s = b.s AND d2.v = b.v "
+            f"WHERE a.d = {lev} GROUP BY a.s, a.v)"
+        )
+    union = " UNION ALL ".join(f"SELECT * FROM dl{v}" for v in range(hops))
+    parts.append(
+        f", bc AS (SELECT dl.v AS id, sum(dl.delta) AS b FROM ({union}) dl "
+        f"JOIN k{hops} k ON k.s = dl.s AND k.v = dl.v "
+        "WHERE k.d > 0 GROUP BY dl.v) "
+        "SELECT degt.id, round(coalesce(bc.b, 0.0), 6) AS betweenness "
+        "FROM degt LEFT JOIN bc ON degt.id = bc.id"
+    )
+    return "".join(parts)
+
+
 def q_doc_sample_hash(spark, sf_dir):  # pipeline: Bernoulli-by-hash
     # map-side filter, no shuffle — the only sampling shape that works
     # at 10^12 rows; portable mode so the kept set is integer-exact
@@ -1924,6 +1985,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "landmark_centrality": q_landmark_centrality,
         "doc_sample_hash": q_doc_sample_hash,
         "doc_sample_stratified": q_doc_sample_stratified,
+        "betweenness_pivots": q_betweenness,
         "minhash_lsh_candidates": q_minhash_lsh_candidates,
         "near_dup_pipeline": q_near_dup_pipeline,
         "jaccard_verified_pairs": q_jaccard_verified_pairs,
@@ -2189,6 +2251,7 @@ def oracle_sql() -> dict[str, str]:
         "landmark_centrality": _landmark_oracle_sql(LAND_L, LAND_H),
         "doc_sample_hash": _sample_oracle_sql()[0],
         "doc_sample_stratified": _sample_oracle_sql()[1],
+        "betweenness_pivots": _betweenness_oracle_sql(BC_SRC, BC_H),
         "minhash_lsh_candidates": _minhash_oracle_sql(),
         "near_dup_pipeline": _minhash_oracle_sql(
             dedup_first=True, max_bucket_size=10

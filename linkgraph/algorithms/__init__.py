@@ -12,6 +12,7 @@ from linkgraph.algorithms.coloring import greedy_coloring
 from linkgraph.algorithms.semiclustering import semi_clustering
 from linkgraph.algorithms.scc import scc
 from linkgraph.algorithms.stats import degree_assortativity, modularity
+from linkgraph.algorithms.betweenness import betweenness
 from linkgraph.algorithms.centrality import (
     landmark_centrality,
     landmark_distances,
@@ -21,6 +22,7 @@ from linkgraph.algorithms.truss import ktruss
 from linkgraph.algorithms.walks import random_walks
 
 __all__ = [
+    "betweenness",
     "core_number",
     "degree_assortativity",
     "modularity",

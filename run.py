@@ -112,7 +112,7 @@ def main() -> None:
                                        "scc", "hits", "mis", "coloring",
                                        "linkpred", "assortativity",
                                        "modularity", "walks", "ktruss",
-                                       "centrality"])
+                                       "centrality", "betweenness"])
     ap.add_argument("--corpus", help="corpus table: parquet dir (or synth:R,F)")
     ap.add_argument("--corpus-format", default="parquet",
                     choices=["parquet", "csv", "json"],
@@ -317,6 +317,13 @@ def main() -> None:
 
         state = link_prediction(g)
         info = RunInfo("linkpred", supersteps=1, converged=True)
+    elif args.algo == "betweenness":
+        # Brandes-Pich pivots ride --k, BFS depth --max-supersteps
+        from linkgraph.algorithms import betweenness as _bc
+
+        state, info = _bc(
+            g, num_sources=args.k, max_hops=args.max_supersteps
+        )
     elif args.algo == "centrality":
         # landmark closeness/harmonic; landmark count rides --k,
         # BFS depth rides --max-supersteps
