@@ -472,6 +472,8 @@ LINKPRED_LIMIT = 100  # top pairs kept by the link-prediction entry,
 #              totally ordered by (rounded adamic_adar desc, src, dst)
 CONTAM_K = 8  # shingle width of the decontamination driver entry
 WALK_K = 4  # steps per walk unrolled in the random-walk oracle
+CHUNK_N = 32  # tokens per chunk of the doc-chunking driver entry
+CHUNK_OV = 8  # its overlap (stride 24)
 BC_SRC = 3  # pivot sources of the betweenness driver entry
 BC_H = 6  # forward hops / backward levels unrolled in its oracle
 SAMP_FRAC = 0.3  # Bernoulli fraction of the hash-sample driver entry
@@ -1518,6 +1520,34 @@ def _ktruss_oracle_sql(k: int, rounds: int) -> str:
     return "".join(parts)
 
 
+def q_doc_chunks(spark, sf_dir):  # pipeline: overlapping token windows
+    from linkgraph.pipeline import chunk_documents
+
+    docs = _t(spark, sf_dir, "documents")
+    out = chunk_documents(docs, CHUNK_N, CHUNK_OV)
+    return out.select(
+        "doc_id", F.col("chunk_id").cast("long").alias("chunk_id"),
+        "chunk_text", "n_chunk_tokens",
+    )
+
+
+def _chunks_oracle_sql(chunk_size: int, overlap: int) -> str:
+    stride = chunk_size - overlap
+    return (
+        "WITH t AS (SELECT doc_id, "
+        "regexp_split_to_array(trim(text), '\\s+') AS toks FROM documents), "
+        "n AS (SELECT doc_id, toks, len(toks) AS n FROM t), "
+        "k AS (SELECT doc_id, toks, "
+        f"unnest(range(0, CAST(floor((n - 1) / {stride}) AS BIGINT) + 1)) AS k "
+        "FROM n) "
+        "SELECT doc_id, k AS chunk_id, "
+        f"array_to_string(toks[k * {stride} + 1 : k * {stride} + {chunk_size}], ' ') "
+        "AS chunk_text, "
+        f"CAST(len(toks[k * {stride} + 1 : k * {stride} + {chunk_size}]) AS BIGINT) "
+        "AS n_chunk_tokens FROM k"
+    )
+
+
 def q_betweenness(spark, sf_dir):  # Brandes-Pich sampled betweenness
     from linkgraph.algorithms import betweenness
     from linkgraph.graph import Graph
@@ -1986,6 +2016,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_sample_hash": q_doc_sample_hash,
         "doc_sample_stratified": q_doc_sample_stratified,
         "betweenness_pivots": q_betweenness,
+        "doc_chunks": q_doc_chunks,
         "minhash_lsh_candidates": q_minhash_lsh_candidates,
         "near_dup_pipeline": q_near_dup_pipeline,
         "jaccard_verified_pairs": q_jaccard_verified_pairs,
@@ -2252,6 +2283,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_sample_hash": _sample_oracle_sql()[0],
         "doc_sample_stratified": _sample_oracle_sql()[1],
         "betweenness_pivots": _betweenness_oracle_sql(BC_SRC, BC_H),
+        "doc_chunks": _chunks_oracle_sql(CHUNK_N, CHUNK_OV),
         "minhash_lsh_candidates": _minhash_oracle_sql(),
         "near_dup_pipeline": _minhash_oracle_sql(
             dedup_first=True, max_bucket_size=10

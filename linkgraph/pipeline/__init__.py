@@ -36,8 +36,10 @@ from linkgraph.pipeline.sampling import (
     sample_hash,
     sample_stratified,
 )
+from linkgraph.pipeline.chunking import chunk_documents
 
 __all__ = [
+    "chunk_documents",
     "sample_hash",
     "sample_stratified",
     "exact_duplicates",
