@@ -472,6 +472,7 @@ LINKPRED_LIMIT = 100  # top pairs kept by the link-prediction entry,
 #              totally ordered by (rounded adamic_adar desc, src, dst)
 CONTAM_K = 8  # shingle width of the decontamination driver entry
 WALK_K = 4  # steps per walk unrolled in the random-walk oracle
+DIAM_H = 8  # BFS hops per sweep in the double-sweep diameter oracle
 CHUNK_N = 32  # tokens per chunk of the doc-chunking driver entry
 CHUNK_OV = 8  # its overlap (stride 24)
 BC_SRC = 3  # pivot sources of the betweenness driver entry
@@ -1520,6 +1521,53 @@ def _ktruss_oracle_sql(k: int, rounds: int) -> str:
     return "".join(parts)
 
 
+def q_graph_diameter(spark, sf_dir):  # double-sweep diameter bounds
+    from linkgraph.algorithms import double_sweep_diameter
+    from linkgraph.graph import Graph
+
+    g = Graph.prepare(_sparse_copurchase_edges(spark, sf_dir))
+    out, _ = double_sweep_diameter(g, max_hops=DIAM_H)
+    return out
+
+
+def _diameter_oracle_sql(hops: int) -> str:
+    """Two unrolled BFS sweeps; sweep B's source is sweep A's farthest
+    vertex (max d, min id), selected in a 1-row CTE."""
+
+    def chain(p: str) -> str:
+        s = ""
+        for h in range(1, hops + 1):
+            s += (
+                f", {p}f{h} AS MATERIALIZED (SELECT DISTINCT f.lm, u.dst AS v "
+                f"FROM {p}f{h - 1} f JOIN und u ON f.v = u.src "
+                f"WHERE NOT EXISTS (SELECT 1 FROM {p}k{h - 1} k "
+                "WHERE k.lm = f.lm AND k.v = u.dst))"
+                f", {p}k{h} AS MATERIALIZED (SELECT * FROM {p}k{h - 1} "
+                f"UNION ALL SELECT lm, v, {h} AS d FROM {p}f{h})"
+            )
+        return s
+
+    return (
+        f"WITH e AS ({_SPARSE_COPURCHASE_SQL}), "
+        "und AS (SELECT src, dst FROM e UNION SELECT dst AS src, src AS dst FROM e), "
+        "degt AS (SELECT src AS id, count(*) AS d FROM und GROUP BY src), "
+        "lm1 AS (SELECT id AS lm FROM degt ORDER BY d DESC, id ASC LIMIT 1), "
+        "af0 AS (SELECT lm, lm AS v FROM lm1), "
+        "ak0 AS (SELECT lm, v, 0 AS d FROM af0)"
+        + chain("a")
+        + f", far AS (SELECT lm, v, d FROM ak{hops} ORDER BY d DESC, v ASC LIMIT 1), "
+        "bf0 AS (SELECT v AS lm, v FROM far), "
+        "bk0 AS (SELECT lm, v, 0 AS d FROM bf0)"
+        + chain("b")
+        + f", ecc2 AS (SELECT max(d) AS ecc FROM bk{hops}) "
+        "SELECT CAST(far.lm AS BIGINT) AS start, "
+        "CAST(far.v AS BIGINT) AS far_vertex, "
+        "CAST(far.d AS BIGINT) AS ecc_start, "
+        "CAST(ecc2.ecc AS BIGINT) AS diameter_lower, "
+        "CAST(2 * ecc2.ecc AS BIGINT) AS diameter_upper FROM far, ecc2"
+    )
+
+
 def q_doc_chunks(spark, sf_dir):  # pipeline: overlapping token windows
     from linkgraph.pipeline import chunk_documents
 
@@ -2017,6 +2065,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_sample_stratified": q_doc_sample_stratified,
         "betweenness_pivots": q_betweenness,
         "doc_chunks": q_doc_chunks,
+        "graph_diameter": q_graph_diameter,
         "minhash_lsh_candidates": q_minhash_lsh_candidates,
         "near_dup_pipeline": q_near_dup_pipeline,
         "jaccard_verified_pairs": q_jaccard_verified_pairs,
@@ -2284,6 +2333,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_sample_stratified": _sample_oracle_sql()[1],
         "betweenness_pivots": _betweenness_oracle_sql(BC_SRC, BC_H),
         "doc_chunks": _chunks_oracle_sql(CHUNK_N, CHUNK_OV),
+        "graph_diameter": _diameter_oracle_sql(DIAM_H),
         "minhash_lsh_candidates": _minhash_oracle_sql(),
         "near_dup_pipeline": _minhash_oracle_sql(
             dedup_first=True, max_bucket_size=10

@@ -14,6 +14,7 @@ from linkgraph.algorithms.scc import scc
 from linkgraph.algorithms.stats import degree_assortativity, modularity
 from linkgraph.algorithms.betweenness import betweenness
 from linkgraph.algorithms.centrality import (
+    double_sweep_diameter,
     landmark_centrality,
     landmark_distances,
     pick_landmarks,
@@ -25,6 +26,7 @@ __all__ = [
     "betweenness",
     "core_number",
     "degree_assortativity",
+    "double_sweep_diameter",
     "modularity",
     "ktruss",
     "landmark_centrality",

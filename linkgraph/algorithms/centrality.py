@@ -99,6 +99,49 @@ def landmark_distances(
     return known, info
 
 
+def double_sweep_diameter(
+    graph: Graph, max_hops: int = 64
+) -> tuple[DataFrame, RunInfo]:
+    """Double-sweep diameter estimate (Magnien, Latapy & Habib 2009):
+    BFS from the pinned start (max degree, min id — the landmark rule
+    with L=1), re-BFS from the farthest vertex found (ties by min id);
+    that vertex's eccentricity is a diameter LOWER bound and twice it
+    an upper bound. Returns one row
+    (start, far_vertex, ecc_start, diameter_lower, diameter_upper).
+
+    Two BFS passes + two 1-row argmax collects — the standard cheap
+    estimator where an exact diameter (all-pairs) is impossible."""
+    spark = graph.edges.sparkSession
+    d1, i1 = landmark_distances(graph, num_landmarks=1, max_hops=max_hops)
+    far = (
+        d1.orderBy(F.desc("d"), F.asc("v"))
+        .select("lm", "v", "d")
+        .first()
+    )
+    lm2 = spark.createDataFrame([(int(far["v"]),)], "lm long")
+    d2, i2 = landmark_distances(graph, max_hops=max_hops, landmarks=lm2)
+    ecc2 = d2.agg(F.max("d")).collect()[0][0]
+    out = spark.createDataFrame(
+        [
+            (
+                int(far["lm"]),
+                int(far["v"]),
+                int(far["d"]),
+                int(ecc2),
+                2 * int(ecc2),
+            )
+        ],
+        "start long, far_vertex long, ecc_start long, "
+        "diameter_lower long, diameter_upper long",
+    )
+    info = RunInfo(
+        "double_sweep",
+        supersteps=i1.supersteps + i2.supersteps,
+        converged=i1.converged and i2.converged,
+    )
+    return out, info
+
+
 def landmark_centrality(
     graph: Graph,
     num_landmarks: int = 16,
