@@ -112,7 +112,8 @@ def main() -> None:
                                        "scc", "hits", "mis", "coloring",
                                        "linkpred", "assortativity",
                                        "modularity", "walks", "ktruss",
-                                       "centrality", "betweenness"])
+                                       "centrality", "betweenness",
+                                       "diameter"])
     ap.add_argument("--corpus", help="corpus table: parquet dir (or synth:R,F)")
     ap.add_argument("--corpus-format", default="parquet",
                     choices=["parquet", "csv", "json"],
@@ -317,6 +318,12 @@ def main() -> None:
 
         state = link_prediction(g)
         info = RunInfo("linkpred", supersteps=1, converged=True)
+    elif args.algo == "diameter":
+        from linkgraph.algorithms import double_sweep_diameter
+
+        state, info = double_sweep_diameter(
+            g, max_hops=args.max_supersteps
+        )
     elif args.algo == "betweenness":
         # Brandes-Pich pivots ride --k, BFS depth --max-supersteps
         from linkgraph.algorithms import betweenness as _bc
