@@ -235,3 +235,43 @@ def test_linkpred_wedge_join_no_cartesian_mapside_agg(spark, graph_builder):
     # wedge aggregate combines map-side before its exchange
     assert "partial_count" in plan
     assert plan.index("partial_count") > plan.index("count(1)")
+
+
+def test_sample_hash_is_pure_filter_no_exchange(spark):
+    """Bernoulli-by-hash sampling must compile to a scan + filter with
+    ZERO exchanges — the property that makes it the only sampling
+    shape usable at 10^12 rows."""
+    from linkgraph.pipeline import sample_hash
+
+    df = spark.createDataFrame(
+        [(i, f"d{i}") for i in range(100)], "id long, text string"
+    )
+    plan = plan_of(sample_hash(df, 0.3, "id"))
+    assert "Exchange" not in plan
+    assert "Filter" in plan
+
+
+def test_chunking_no_exchange(spark):
+    """Chunking is one JVM projection: explode + slice, no shuffle."""
+    from linkgraph.pipeline import chunk_documents
+
+    df = spark.createDataFrame(
+        [(i, "a b c d e f g h") for i in range(10)],
+        "doc_id long, text string",
+    )
+    plan = plan_of(chunk_documents(df, 4, 1))
+    assert "Exchange" not in plan
+    assert "Generate" in plan  # the explode
+    assert "PythonUDF" not in plan and "MapInPandas" not in plan
+
+
+def test_walk_step_is_single_combined_exchange(spark, graph_builder):
+    """One walk step = frontier join + min(struct) combine; the
+    aggregate must partial-combine map-side (the draw argmin IS the
+    combiner), no cartesian joins anywhere."""
+    from linkgraph.algorithms import random_walks
+
+    g = graph_builder([(0, 1), (1, 2), (2, 3), (3, 0)])
+    plan = plan_of(random_walks(g, walk_length=1))
+    assert "Cartesian" not in plan and "BroadcastNestedLoop" not in plan
+    assert "partial_min" in plan
