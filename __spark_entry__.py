@@ -472,6 +472,8 @@ LINKPRED_LIMIT = 100  # top pairs kept by the link-prediction entry,
 #              totally ordered by (rounded adamic_adar desc, src, dst)
 CONTAM_K = 8  # shingle width of the decontamination driver entry
 WALK_K = 4  # steps per walk unrolled in the random-walk oracle
+FP_K = 3  # smoothing rounds of the feature-propagation driver entry
+FP_A = 0.5  # its alpha
 DIAM_H = 8  # BFS hops per sweep in the double-sweep diameter oracle
 CHUNK_N = 32  # tokens per chunk of the doc-chunking driver entry
 CHUNK_OV = 8  # its overlap (stride 24)
@@ -1521,6 +1523,41 @@ def _ktruss_oracle_sql(k: int, rounds: int) -> str:
     return "".join(parts)
 
 
+def q_feature_propagation(spark, sf_dir):  # SGC/C&S smoothing rounds
+    # feature = undirected degree (SQL-derivable), FP_K rounds of
+    # x' = (1-a)x + a*mean(neighbors)
+    from linkgraph.algorithms import propagate_features
+    from linkgraph.graph import Graph, symmetrize
+
+    g = Graph.prepare(_sparse_copurchase_edges(spark, sf_dir))
+    feats = (
+        symmetrize(g.edges)
+        .groupBy(F.col("src").alias("id"))
+        .agg(F.count(F.lit(1)).cast("double").alias("x"))
+    )
+    out = propagate_features(g, feats, hops=FP_K, alpha=FP_A)
+    return out.select("id", F.round("x", 6).alias("x"))
+
+
+def _propagation_oracle_sql(hops: int, alpha: float) -> str:
+    parts = [
+        f"WITH e AS ({_SPARSE_COPURCHASE_SQL}), "
+        "und AS (SELECT src, dst FROM e UNION SELECT dst AS src, src AS dst FROM e), "
+        "x0 AS (SELECT src AS id, CAST(count(*) AS DOUBLE) AS x "
+        "FROM und GROUP BY src)"
+    ]
+    for h in range(1, hops + 1):
+        parts.append(
+            f", x{h} AS MATERIALIZED (SELECT s.id, CASE WHEN m.nm IS NOT NULL "
+            f"THEN {1.0 - alpha} * s.x + {alpha} * m.nm ELSE s.x END AS x "
+            f"FROM x{h - 1} s LEFT JOIN (SELECT u.dst AS id, avg(s2.x) AS nm "
+            f"FROM und u JOIN x{h - 1} s2 ON u.src = s2.id GROUP BY u.dst) m "
+            "ON s.id = m.id)"
+        )
+    parts.append(f" SELECT id, round(x, 6) AS x FROM x{hops}")
+    return "".join(parts)
+
+
 def q_graph_diameter(spark, sf_dir):  # double-sweep diameter bounds
     from linkgraph.algorithms import double_sweep_diameter
     from linkgraph.graph import Graph
@@ -2066,6 +2103,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "betweenness_pivots": q_betweenness,
         "doc_chunks": q_doc_chunks,
         "graph_diameter": q_graph_diameter,
+        "feature_propagation": q_feature_propagation,
         "minhash_lsh_candidates": q_minhash_lsh_candidates,
         "near_dup_pipeline": q_near_dup_pipeline,
         "jaccard_verified_pairs": q_jaccard_verified_pairs,
@@ -2334,6 +2372,7 @@ def oracle_sql() -> dict[str, str]:
         "betweenness_pivots": _betweenness_oracle_sql(BC_SRC, BC_H),
         "doc_chunks": _chunks_oracle_sql(CHUNK_N, CHUNK_OV),
         "graph_diameter": _diameter_oracle_sql(DIAM_H),
+        "feature_propagation": _propagation_oracle_sql(FP_K, FP_A),
         "minhash_lsh_candidates": _minhash_oracle_sql(),
         "near_dup_pipeline": _minhash_oracle_sql(
             dedup_first=True, max_bucket_size=10

@@ -19,6 +19,7 @@ from linkgraph.algorithms.centrality import (
     landmark_distances,
     pick_landmarks,
 )
+from linkgraph.algorithms.propagation import propagate_features
 from linkgraph.algorithms.truss import ktruss
 from linkgraph.algorithms.walks import random_walks
 
@@ -32,6 +33,7 @@ __all__ = [
     "landmark_centrality",
     "landmark_distances",
     "pick_landmarks",
+    "propagate_features",
     "random_walks",
     "greedy_coloring",
     "hits",

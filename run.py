@@ -113,7 +113,7 @@ def main() -> None:
                                        "linkpred", "assortativity",
                                        "modularity", "walks", "ktruss",
                                        "centrality", "betweenness",
-                                       "diameter"])
+                                       "diameter", "propagate"])
     ap.add_argument("--corpus", help="corpus table: parquet dir (or synth:R,F)")
     ap.add_argument("--corpus-format", default="parquet",
                     choices=["parquet", "csv", "json"],
@@ -318,6 +318,23 @@ def main() -> None:
 
         state = link_prediction(g)
         info = RunInfo("linkpred", supersteps=1, converged=True)
+    elif args.algo == "propagate":
+        # degree-feature smoothing demo; rounds ride --max-supersteps
+        from pyspark.sql import functions as _F
+
+        from linkgraph.algorithms import propagate_features
+        from linkgraph.graph import symmetrize
+        from linkgraph.pregel import RunInfo
+
+        feats = (
+            symmetrize(g.edges)
+            .groupBy(_F.col("src").alias("id"))
+            .agg(_F.count(_F.lit(1)).cast("double").alias("x"))
+        )
+        state = propagate_features(g, feats, hops=args.max_supersteps)
+        info = RunInfo(
+            "propagate", supersteps=args.max_supersteps, converged=True
+        )
     elif args.algo == "diameter":
         from linkgraph.algorithms import double_sweep_diameter
 
