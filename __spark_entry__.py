@@ -1523,6 +1523,34 @@ def _ktruss_oracle_sql(k: int, rounds: int) -> str:
     return "".join(parts)
 
 
+def q_doc_subword_tokens(spark, sf_dir):  # pipeline: BPE-ish counting
+    from linkgraph.pipeline import subword_token_count_col, token_count_col
+
+    docs = _t(spark, sf_dir, "documents")
+    ws = token_count_col().cast("long")
+    bpe = subword_token_count_col().cast("long")
+    return docs.select(
+        "doc_id",
+        ws.alias("n_tokens_ws"),
+        bpe.alias("n_tokens_bpe"),
+        F.round(bpe.cast("double") / ws, 6).alias("pieces_per_token"),
+    )
+
+
+def _subword_oracle_sql() -> str:
+    from linkgraph.pipeline.textstats import BPE_ISH_PATTERN
+
+    pat = BPE_ISH_PATTERN.replace("'", "''")
+    return (
+        "WITH t AS (SELECT doc_id, "
+        "len(regexp_split_to_array(trim(text), '\\s+')) AS ws, "
+        f"len(regexp_extract_all(text, '{pat}')) AS bpe FROM documents) "
+        "SELECT doc_id, CAST(ws AS BIGINT) AS n_tokens_ws, "
+        "CAST(bpe AS BIGINT) AS n_tokens_bpe, "
+        "round(CAST(bpe AS DOUBLE) / ws, 6) AS pieces_per_token FROM t"
+    )
+
+
 def q_feature_propagation(spark, sf_dir):  # SGC/C&S smoothing rounds
     # feature = undirected degree (SQL-derivable), FP_K rounds of
     # x' = (1-a)x + a*mean(neighbors)
@@ -2104,6 +2132,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_chunks": q_doc_chunks,
         "graph_diameter": q_graph_diameter,
         "feature_propagation": q_feature_propagation,
+        "doc_subword_tokens": q_doc_subword_tokens,
         "minhash_lsh_candidates": q_minhash_lsh_candidates,
         "near_dup_pipeline": q_near_dup_pipeline,
         "jaccard_verified_pairs": q_jaccard_verified_pairs,
@@ -2373,6 +2402,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_chunks": _chunks_oracle_sql(CHUNK_N, CHUNK_OV),
         "graph_diameter": _diameter_oracle_sql(DIAM_H),
         "feature_propagation": _propagation_oracle_sql(FP_K, FP_A),
+        "doc_subword_tokens": _subword_oracle_sql(),
         "minhash_lsh_candidates": _minhash_oracle_sql(),
         "near_dup_pipeline": _minhash_oracle_sql(
             dedup_first=True, max_bucket_size=10

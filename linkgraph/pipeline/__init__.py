@@ -27,6 +27,7 @@ from linkgraph.pipeline.dedup_incremental import IncrementalDeduper
 from linkgraph.pipeline.similarity import cosine_topk, ivf_build, ivf_topk
 from linkgraph.pipeline.textstats import (
     token_count_col,
+    subword_token_count_col,
     text_stats,
     quality_score,
     language_id,
@@ -60,6 +61,7 @@ __all__ = [
     "ivf_build",
     "ivf_topk",
     "token_count_col",
+    "subword_token_count_col",
     "text_stats",
     "quality_score",
     "language_id",

@@ -25,6 +25,22 @@ def token_count_col(text_col: str = "text"):
     return F.size(F.split(F.trim(F.col(text_col)), r"\s+"))
 
 
+# GPT-2-style pre-tokenizer classes: contraction suffixes, letter runs,
+# digit runs, punctuation runs. Leftmost-first alternation + greedy
+# classes only, so Java regex (Spark), RE2 (DuckDB) and Python `re`
+# all split identically — the oracle reproduces it verbatim.
+BPE_ISH_PATTERN = r"'(?:s|t|re|ve|m|ll|d)|[A-Za-z]+|[0-9]+|[^\sA-Za-z0-9]+"
+
+
+def subword_token_count_col(text_col: str = "text"):
+    """BPE-ish piece count — the standard cheap LLM-token estimate when
+    no tokenizer binary is in reach (counts the pre-tokenizer pieces a
+    byte-BPE would then merge; always ≥ the whitespace count)."""
+    return F.size(
+        F.regexp_extract_all(F.col(text_col), F.lit(BPE_ISH_PATTERN), F.lit(0))
+    )
+
+
 def _stop_hits(text_col: str, words: list[str]):
     pat = r"\b(" + "|".join(words) + r")\b"
     return F.size(F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(pat), F.lit(0)))
