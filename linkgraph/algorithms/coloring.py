@@ -118,6 +118,7 @@ def coloring_spec() -> PregelSpec:
             "id", F.lit(-1).cast("long").alias("color")
         ),
         prepare_links=symmetrize,
+        links_prepartitioned=True,  # symmetrize emits hash(src) (r6)
         step=step,
         metrics={"uncolored": F.sum((F.col("color") == -1).cast("long"))},
         halt=lambda m: int(m.get("uncolored") or 0) == 0,

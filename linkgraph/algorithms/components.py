@@ -67,6 +67,7 @@ def components_spec(estimate_components: bool = False) -> PregelSpec:
         metrics=metrics,
         halt=lambda a: int(a.get("active") or 0) == 0,
         frontier_filter="changed",
+        links_prepartitioned=True,  # prepare_links = symmetrize (hash(src))
     )
 
 

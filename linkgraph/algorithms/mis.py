@@ -120,6 +120,7 @@ def mis_spec() -> PregelSpec:
             "id", F.lit(0).cast("long").alias("st")
         ),
         prepare_links=symmetrize,
+        links_prepartitioned=True,  # symmetrize emits hash(src) (r6)
         step=step,
         metrics={"undecided": F.sum((F.col("st") == 0).cast("long"))},
         halt=lambda m: int(m.get("undecided") or 0) == 0,

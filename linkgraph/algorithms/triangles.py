@@ -36,11 +36,15 @@ from linkgraph.pregel import RunInfo
 def _oriented_wedges(graph: Graph) -> tuple[DataFrame, DataFrame]:
     """(deg(id, d), wedges(u, v, apexes, c)) — the shared degree-ordered
     triangle discovery plan (lazy; callers decide persistence)."""
-    spark = graph.edges.sparkSession
-    p = int(spark.conf.get("spark.sql.shuffle.partitions"))
     und = symmetrize(graph.edges)  # both directions, simple
 
     # Orientation rank: (degree, id) totally orders vertices.
+    # r6: symmetrize emits und hash(src)-partitioned, so the degree
+    # aggregate and the ds-join need no exchange, and the old explicit
+    # repartition(p, src) after the joins was redundant — when the deg
+    # joins broadcast (|V| ≪ |E|) the src partitioning survives to the
+    # adjacency groupBy untouched, and when they shuffle at scale
+    # Catalyst inserts exactly the exchange the groupBy needs anyway.
     deg = und.groupBy(F.col("src").alias("id")).agg(F.count(F.lit(1)).alias("d"))
     oriented = (
         und.join(deg.select(F.col("id").alias("src"), F.col("d").alias("ds")), "src")
@@ -50,7 +54,6 @@ def _oriented_wedges(graph: Graph) -> tuple[DataFrame, DataFrame]:
             | ((F.col("dd") == F.col("ds")) & (F.col("dst") > F.col("src")))
         )
         .select("src", "dst")
-        .repartition(p, "src")
     )
     adj = oriented.groupBy(F.col("src").alias("id")).agg(
         F.sort_array(F.collect_list("dst")).alias("nbrs")

@@ -231,7 +231,12 @@ def derive_edges(
     """
     extractor = extract_imports_arrow if use_arrow else extract_imports
     imports = extractor(corpus)
-    edges_by_name = resolve_edges(imports, exports)
+    # r6: pin the resolved name-edge table (lazy localCheckpoint — the
+    # first consumer materializes it). It fans out into BOTH the dense-
+    # id path (via verts) and the final encode join; without the pin
+    # the whole scan→regex-extract→explode→resolve subtree — the
+    # expensive part at corpus scale — executes once per consumer.
+    edges_by_name = resolve_edges(imports, exports).localCheckpoint(eager=False)
     verts = (
         edges_by_name.select(F.col("src_repo").alias("repo"))
         .unionByName(edges_by_name.select(F.col("dst_repo").alias("repo")))

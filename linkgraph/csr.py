@@ -99,10 +99,15 @@ def pagerank_csr(
     machinery for free, and shares the fused combine+apply shuffle.
     """
     from linkgraph.pregel import PregelSpec, pregel_run
+    from linkgraph.tuning import scale_partitions
 
     assert dangling in ("drop", "redistribute")
     spark = graph.edges.sparkSession
-    p = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    # r6: the CSR partition count scales with the graph (one CSR row =
+    # one partition's adjacency, so p bounds kernel memory) and matches
+    # the partition count pregel_run derives for the loop — state and
+    # CSR rows cogroup on the same pk space with no re-keying.
+    p = scale_partitions(spark, max(graph.num_edges, graph.num_vertices))
     n = graph.num_vertices
     if n == 0:
         raise ValueError("pagerank_csr on an empty graph (num_vertices == 0)")

@@ -40,21 +40,20 @@ def planted_targets(i: int, R: int) -> list[int]:
 
 
 def _import_lines(lang: str, targets: list[int]) -> list[str]:
-    lines = []
-    for n, j in enumerate(targets):
-        if lang == "python":
-            if n % 2 == 0:
-                lines.append(f"import repo{j:04d}_pkg")
-            else:
-                lines.append(f"from repo{j:04d}_pkg import x")
-        elif lang == "js":
-            if n % 2 == 0:
-                lines.append(f'const x{n} = require("repo{j:04d}-lib")')
-            else:
-                lines.append(f'import x{n} from "repo{j:04d}-lib"')
-        else:  # go
-            lines.append(f'import "example.com/org{j:04d}/repo{j:04d}"')
-    return lines
+    # branch once per call, not once per line (hub repos have ~R/10
+    # targets, so this loop dominates generation); identical strings.
+    if lang == "python":
+        return [
+            f"import repo{j:04d}_pkg" if n % 2 == 0 else f"from repo{j:04d}_pkg import x"
+            for n, j in enumerate(targets)
+        ]
+    if lang == "js":
+        return [
+            f'const x{n} = require("repo{j:04d}-lib")' if n % 2 == 0
+            else f'import x{n} from "repo{j:04d}-lib"'
+            for n, j in enumerate(targets)
+        ]
+    return [f'import "example.com/org{j:04d}/repo{j:04d}"' for j in targets]
 
 
 def _filler(repo: str, path: str, lang: str) -> list[str]:
@@ -83,13 +82,17 @@ class Corpus:
 
 
 def gen_corpus(R: int = 30, F: int = 5) -> Corpus:
+    # r6 perf: one precomputed name table instead of ~|E| repo_name()
+    # f-string calls (the planted hub repos make |E| ≈ R²/970, so name
+    # formatting dominated generation); output is byte-identical.
+    names = [repo_name(i) for i in range(R)]
     rows, shas = [], []
     edge_set = set()
     for i in range(R):
-        repo = repo_name(i)
+        repo = names[i]
         targets = planted_targets(i, R)
         for j in targets:
-            edge_set.add((repo, repo_name(j)))
+            edge_set.add((repo, names[j]))
         for j in range(F):
             lang = LANGS[(i + j) % 3]
             path = f"src/f{j:03d}.{EXT[lang]}"
@@ -100,9 +103,9 @@ def gen_corpus(R: int = 30, F: int = 5) -> Corpus:
             shas.append((repo, path, _sha(content)))
     exports = []
     for j in range(R):
-        exports.append((f"repo{j:04d}_pkg", repo_name(j)))
-        exports.append((f"repo{j:04d}-lib", repo_name(j)))
-        exports.append((f"example.com/org{j:04d}/repo{j:04d}", repo_name(j)))
+        exports.append((f"repo{j:04d}_pkg", names[j]))
+        exports.append((f"repo{j:04d}-lib", names[j]))
+        exports.append((f"example.com/org{j:04d}/repo{j:04d}", names[j]))
     return Corpus(
         files=pd.DataFrame(rows, columns=["repo", "path", "commit", "lang", "content"]),
         exports=pd.DataFrame(exports, columns=["module", "repo"]),

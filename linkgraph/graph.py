@@ -44,10 +44,31 @@ def vertices_of(edges: DataFrame) -> DataFrame:
     )
 
 
-def symmetrize(edges: DataFrame) -> DataFrame:
-    """A11: undirected view — each edge in both directions, deduped."""
+def symmetrize(edges: DataFrame, partitions: int | None = None) -> DataFrame:
+    """A11: undirected view — each edge in both directions, deduped.
+
+    r6 plan shape (guide §2.4): ONE exchange instead of two. The dedup
+    used to be `distinct()` (exchange on (src,dst)) followed by
+    downstream repartitions on src; instead we repartition on src FIRST
+    and dedup in place — hash(src) clusters equal (src,dst) rows, so
+    Catalyst satisfies the aggregate's distribution with the existing
+    exchange, and every downstream groupBy(src)/join(src) (degrees,
+    orientation, adjacency build) reuses the partitioning with no
+    further shuffle. Trade-off: duplicate edges are shuffled raw rather
+    than pre-combined map-side — a loss only when the input edge list
+    has a large duplication factor, which prepared graphs (already
+    simple) never do.
+    """
+    spark = edges.sparkSession
+    p = partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
     rev = edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    return canonicalize(edges.select("src", "dst").unionByName(rev))
+    return (
+        edges.select("src", "dst")
+        .unionByName(rev)
+        .filter(F.col("src") != F.col("dst"))
+        .repartition(p, "src")
+        .dropDuplicates(["src", "dst"])
+    )
 
 
 def canonical_undirected(edges: DataFrame) -> DataFrame:
@@ -174,6 +195,15 @@ class Graph:
         """
         spark = raw_edges.sparkSession
         p = partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+        # r6 (guide §2.4): canonicalize with ONE exchange instead of
+        # two. Repartitioning on src FIRST lets the (src,dst) dedup
+        # aggregate run in place (hash(src) already clusters equal
+        # (src,dst) rows), and the persisted edge table comes out
+        # hash(src)-partitioned — out_degrees / scatter-link builds /
+        # src-keyed joins downstream then need no further exchange.
+        # Trade-off (documented in symmetrize): duplicate input edges
+        # shuffle raw instead of map-side combined; callers with a
+        # heavily duplicated raw edge list should pre-aggregate.
         if weight_cols:
             missing = [c for c in weight_cols if c not in raw_edges.columns]
             if missing:
@@ -188,20 +218,26 @@ class Graph:
                     *weight_cols,
                 )
                 .filter(F.col("src") != F.col("dst"))
+                .repartition(p, "src")
                 .groupBy("src", "dst")
                 .agg(F.min(F.struct(*weight_cols)).alias("_e"))
                 .select("src", "dst", "_e.*")
-                .repartition(p, "src")
             )
         else:
             edges = (
-                canonicalize(raw_edges)
-                .withColumn("src", F.col("src").cast("long"))
-                .withColumn("dst", F.col("dst").cast("long"))
+                raw_edges.select(
+                    F.col("src").cast("long"), F.col("dst").cast("long")
+                )
+                .filter(F.col("src") != F.col("dst"))
                 .repartition(p, "src")
+                .dropDuplicates(["src", "dst"])
             )
         edges.persist()
-        verts = vertices_of(edges).repartition(p, "id")
+        # vertices: union+distinct is ONE exchange already (map-side
+        # partial dedup collapses the 2|E| stream before the shuffle);
+        # the old extra repartition(p, id) bought nothing — every
+        # consumer (init_state, joins) re-keys or re-partitions anyway.
+        verts = vertices_of(edges)
         verts.persist()
         return Graph(
             edges=edges,

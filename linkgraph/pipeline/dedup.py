@@ -76,18 +76,27 @@ def shingles(
 ) -> DataFrame:
     """Distinct character k-gram shingles per doc: (id, shingle).
 
-    Pure JVM: sequence + transform + explode + distinct. The text is
-    lowercased; shingling the raw column keeps the operator streaming
-    (no Python).
+    Pure JVM: sequence + transform + explode. The text is lowercased;
+    shingling the raw column keeps the operator streaming (no Python).
+
+    r6 (guide §2.4): the per-doc dedup is `array_distinct` INSIDE the
+    row, not a corpus-wide `distinct()` — the old form shuffled the
+    entire exploded shingle stream (≈ |corpus characters| rows) just to
+    dedup within each doc, which a row-local set does for free. The
+    operator is now a pure projection (ZERO exchanges): at 10^12 docs
+    nothing shuffles until an aggregate keyed on doc id, whose map-side
+    partial agg sees pre-deduped rows. Requires `id_col` to identify
+    the row (a doc split across input rows was never supported — the
+    shingle window cannot span rows).
     """
+    low = F.lower(F.col(text_col)).alias("_t")
     grams = F.expr(
-        f"transform(sequence(1, greatest(length(lower({text_col})) - {k - 1}, 1)), "
-        f"i -> substring(lower({text_col}), i, {k}))"
+        f"array_distinct(filter(transform(sequence(1, greatest(length(_t) - {k - 1}, 1)), "
+        f"i -> substring(_t, i, {k})), s -> length(s) = {k}))"
     )
     return (
-        df.select(F.col(id_col).alias("id"), F.explode(grams).alias("shingle"))
-        .filter(F.length("shingle") == k)
-        .distinct()
+        df.select(F.col(id_col).alias("id"), low)
+        .select("id", F.explode(grams).alias("shingle"))
     )
 
 

@@ -151,6 +151,13 @@ class PregelSpec:
     frontier_filter: str | None = "changed"  # None = every vertex scatters
     links_key: str = "src"  # partition/sort column of the scatter relation
     # ("pk" for the CSR layout, whose relation is one row per partition)
+    # True = prepare_links already returns its relation hash-partitioned
+    # on links_key at the CURRENT spark.sql.shuffle.partitions (e.g. it
+    # ends in graph.symmetrize, whose dedup repartitions on src) — the
+    # driver then skips its own repartition, saving one full |links|
+    # exchange per run (r6, guide §2.4). prepare_links is always called
+    # under the loop's superstep_conf, so "current" == the loop's p.
+    links_prepartitioned: bool = False
     # False = the program is not safe under barrier-time topology
     # mutation: applying one resets the frontier to the FULL state,
     # which re-delivers messages a non-idempotent program (k-core's
@@ -195,7 +202,41 @@ def pregel_run(
 
     graph: linkgraph.graph.Graph (prepared: canonical edges persisted).
     Returns (state(id, *state_cols), RunInfo).
+
+    Execution tuning (r6, tuning.py): the partition count defaults to a
+    scale-derived value (~1M edge messages per partition, floored at
+    half the cores) instead of the session constant, and the whole
+    loop runs with AQE disabled — the recurring superstep plan is fixed,
+    so adaptive re-planning is pure per-step driver overhead (measured
+    2.1x median-step). Both settings restore on return.
     """
+    from linkgraph.tuning import scale_partitions, superstep_conf
+
+    spark = graph.edges.sparkSession
+    p = partitions or scale_partitions(
+        spark, max(graph.num_edges, graph.num_vertices)
+    )
+    with superstep_conf(spark, p):
+        return _pregel_run_inner(
+            graph,
+            spec,
+            max_supersteps=max_supersteps,
+            checkpointer=checkpointer,
+            partitions=p,
+            mutations=mutations,
+        )
+
+
+def _pregel_run_inner(
+    graph,
+    spec: PregelSpec,
+    *,
+    max_supersteps: int,
+    checkpointer=None,
+    partitions: int | None = None,
+    mutations: Callable[[int], tuple[DataFrame | None, DataFrame | None] | None]
+    | None = None,
+) -> tuple[DataFrame, RunInfo]:
     from linkgraph.graph import vertices_of
 
     if mutations is not None and not spec.mutation_safe:
@@ -219,12 +260,10 @@ def pregel_run(
     def build_links(e: DataFrame) -> DataFrame:
         # pre-sorted persisted scatter side: the per-superstep sort-merge
         # join never re-sorts the |E| relation, only the |V| state side
-        l_ = (
-            spec.prepare_links(e)
-            .repartition(p, spec.links_key)
-            .sortWithinPartitions(spec.links_key)
-            .persist()
-        )
+        l_ = spec.prepare_links(e)
+        if not spec.links_prepartitioned:
+            l_ = l_.repartition(p, spec.links_key)
+        l_ = l_.sortWithinPartitions(spec.links_key).persist()
         l_.count()
         return l_
 

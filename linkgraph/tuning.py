@@ -1,0 +1,104 @@
+"""Scale-adaptive execution tuning for the superstep loops (r6, guide §1/§2).
+
+Two facts drive this module, both measured (OPTIMIZATION_r06.md §2):
+
+1. A superstep's recurring plan is FIXED and tiny in shape — one
+   scatter join against a persisted, pre-partitioned links relation,
+   one combine exchange whose map-side partial aggregate is the Pregel
+   combiner, one scalar metric aggregate. AQE's stage-by-stage
+   re-planning buys nothing here (there is nothing left to re-plan)
+   but costs one extra job submission + re-optimization per exchange
+   PER SUPERSTEP: measured 0.68 s vs 0.33 s median superstep on the
+   463k-edge corpus graph (2.1x). Value-skew is absorbed by the
+   map-side combiner; structural out-degree skew is handled by the
+   dedicated operators (skew.py salting / hot-vertex broadcast), not by
+   AQE's SMJ splitting. So the loop runs with AQE off and is restored
+   to the caller's setting afterwards.
+
+2. `spark.sql.shuffle.partitions` is a session constant (cores-derived)
+   but the right partition count for a superstep scales with the
+   GRAPH, not the machine: guide §2.2 wants 100 MB-1 GB per partition,
+   and a 32-partition shuffle of a 10 MB message stream is pure
+   scheduling overhead (measured: p=8 beats p=32 by 1.3x on the bench
+   graph, and p=2 loses — the floor below keeps enough parallelism for
+   the per-step compute). `scale_partitions` derives the count from
+   the edge count: ~1M edge-messages (~25-50 MB) per partition, with a
+   floor of half the cores so small graphs still spread over the
+   machine (measured: the best cold+warm compromise for the heavier
+   two-level-aggregate steps like LPA's). Large graphs get MORE partitions than the session
+   constant — this is scale-adaptive in both directions, not a
+   local-mode tune (a 10^12-edge graph derives ~10^6 partitions
+   capped by `max_partitions`).
+"""
+
+from __future__ import annotations
+
+import math
+from contextlib import contextmanager
+
+# ~1M edge messages per shuffle partition: at 24-48 bytes per combined
+# message row this lands in the tens-of-MB-per-partition band that
+# keeps task count proportional to data (guide §2.2). Deliberately
+# below the guide's 100MB-1GB steady-state band: superstep shuffles are
+# latency-sensitive (one barrier per step) and partitions also bound
+# the per-task state of the combine hash aggregate.
+ROWS_PER_PARTITION = 1_000_000
+
+# Backstop against absurd partition counts on a single driver (200k
+# tasks/superstep would melt the scheduler long before the data hurts).
+MAX_PARTITIONS = 200_000
+
+
+def scale_partitions(
+    spark,
+    rows: int,
+    rows_per_partition: int = ROWS_PER_PARTITION,
+    floor: int | None = None,
+) -> int:
+    """Partition count derived from data size, not machine size.
+
+    floor defaults to max(2, cores/2): small graphs keep enough
+    parallelism to hide per-task latency without paying 1 task per
+    core for near-empty partitions.
+    """
+    cores = spark.sparkContext.defaultParallelism
+    lo = floor if floor is not None else max(2, cores // 2)
+    derived = math.ceil(max(int(rows), 1) / rows_per_partition)
+    return int(min(max(lo, derived), MAX_PARTITIONS))
+
+
+_UNSET = object()
+
+
+@contextmanager
+def superstep_conf(spark, partitions: int | None = None):
+    """Run a superstep loop under fixed-plan execution settings.
+
+    - adaptive execution OFF (fixed recurring plan; AQE re-planning is
+      pure per-step driver overhead — measured 2.1x, see module doc)
+    - shuffle.partitions = the scale-derived count, so the loop's
+      combine exchange and explicit repartitions agree (one
+      partitioning shared across supersteps, no AQE coalescing needed)
+
+    Both settings are restored on exit, so surrounding non-loop queries
+    keep the session defaults (AQE on, cores-derived partitions).
+    """
+    conf = spark.conf
+    saved: dict[str, object] = {}
+    changes = {"spark.sql.adaptive.enabled": "false"}
+    if partitions is not None:
+        changes["spark.sql.shuffle.partitions"] = str(int(partitions))
+    for k, v in changes.items():
+        try:
+            saved[k] = conf.get(k)
+        except Exception:
+            saved[k] = _UNSET
+        conf.set(k, v)
+    try:
+        yield
+    finally:
+        for k, old in saved.items():
+            if old is _UNSET:
+                conf.unset(k)
+            else:
+                conf.set(k, old)
