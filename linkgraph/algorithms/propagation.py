@@ -47,6 +47,14 @@ def propagate_features(
         raise ValueError("hops must be >= 0")
     if not 0.0 <= alpha <= 1.0:
         raise ValueError("alpha must be in [0, 1]")
+    from linkgraph.tuning import scale_partitions, superstep_conf
+
+    spark = graph.edges.sparkSession
+    with superstep_conf(spark, scale_partitions(spark, graph.num_edges)):
+        return _propagate_inner(graph, features, feature_col, hops, alpha)
+
+
+def _propagate_inner(graph, features, feature_col, hops, alpha):
     und = symmetrize(graph.edges).persist()
     state = (
         graph.vertices.join(features.select("id", feature_col), "id", "left")

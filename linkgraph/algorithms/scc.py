@@ -90,11 +90,24 @@ def scc(
 ) -> tuple[DataFrame, RunInfo]:
     """Returns (state(id, scc), RunInfo); scc = min vertex id of the
     strongly connected component (matching the oracle's normal form).
-    RunInfo.supersteps counts every inner barrier across all phases."""
+    RunInfo.supersteps counts every inner barrier across all phases.
+
+    r6: the whole FW-BW-Trim loop runs under superstep_conf (AQE off,
+    scale-derived partitions) — same rationale as pregel_run: every
+    inner barrier replays a fixed plan shape."""
+    from linkgraph.tuning import scale_partitions, superstep_conf
+
+    spark = graph.edges.sparkSession
+    p = scale_partitions(spark, max(graph.num_edges, graph.num_vertices))
+    with superstep_conf(spark, p):
+        return _scc_inner(graph, max_outer, p)
+
+
+def _scc_inner(
+    graph: Graph, max_outer: int, p: int
+) -> tuple[DataFrame, RunInfo]:
     info = RunInfo("scc")
     edges = graph.edges.select("src", "dst")
-    spark = edges.sparkSession
-    p = int(spark.conf.get("spark.sql.shuffle.partitions"))
 
     if graph.num_vertices == 0:
         # empty graph: no outer round ever appends a part — return the

@@ -122,6 +122,14 @@ def modularity(graph: Graph, labels: DataFrame) -> DataFrame:
         F.sum(F.col("d_c") * F.col("d_c")).alias("sum_d2"),
     )
     m = canon.count()
+    if m == 0:
+        # ADVICE r5: the published definition requires m > 0; dividing
+        # by 4m² would yield an engine-dependent NaN/null instead of a
+        # clear signal.
+        raise ValueError(
+            "modularity: graph has no undirected edges (m == 0) — "
+            "modularity is undefined"
+        )
     q = (
         (4 * F.lit(m) * F.col("sum_l") - F.col("sum_d2")).cast("double")
         / F.lit(float(4 * m * m))
