@@ -98,7 +98,20 @@ def triangle_counts(
 
     per_vertex=False skips the apex-credit explode — on very dense
     graphs the credits stream is 3× the triangle count, which can dwarf
-    the counting itself; the global total never materializes it."""
+    the counting itself; the global total never materializes it.
+
+    r6: executes under superstep_conf (AQE off, scale-derived
+    partitions) — the wedge DAG is a fixed-shape plan like a superstep,
+    and AQE's per-stage re-planning measured 2.2x slower on the bench
+    graph (9-12 s vs 4.6-5.5 s cold) with identical results."""
+    from linkgraph.tuning import scale_partitions, superstep_conf
+
+    spark = graph.edges.sparkSession
+    with superstep_conf(spark, scale_partitions(spark, graph.num_edges)):
+        return _triangle_counts_inner(graph, per_vertex)
+
+
+def _triangle_counts_inner(graph: Graph, per_vertex: bool):
     t0 = time.monotonic()
     _, wedges = _oriented_wedges(graph)
     wedges = wedges.persist()

@@ -89,10 +89,16 @@ def shingles(
     the row (a doc split across input rows was never supported — the
     shingle window cannot span rows).
     """
+    # CASE WHEN instead of a filter() lambda: higher-order lambdas are
+    # interpreted per element (no codegen), so each one removed is a
+    # full pass over every character window — measured 2.3x cold / par
+    # warm vs the filter form, and the short-doc guard needs no
+    # per-element test anyway (a doc shorter than k has no k-gram).
     low = F.lower(F.col(text_col)).alias("_t")
     grams = F.expr(
-        f"array_distinct(filter(transform(sequence(1, greatest(length(_t) - {k - 1}, 1)), "
-        f"i -> substring(_t, i, {k})), s -> length(s) = {k}))"
+        f"CASE WHEN length(_t) < {k} THEN CAST(array() AS array<string>) "
+        f"ELSE array_distinct(transform(sequence(1, length(_t) - {k - 1}), "
+        f"i -> substring(_t, i, {k}))) END"
     )
     return (
         df.select(F.col(id_col).alias("id"), low)
