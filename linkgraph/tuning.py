@@ -57,14 +57,26 @@ def scale_partitions(
 ) -> int:
     """Partition count derived from data size, not machine size.
 
-    floor defaults to max(2, cores/2): small graphs keep enough
-    parallelism to hide per-task latency without paying 1 task per
-    core for near-empty partitions.
+    Two regimes (both measured, OPTIMIZATION_r06.md §2):
+
+    - latency-bound (derived count <= floor): small graphs use
+      max(2, cores/2) partitions — enough parallelism to hide per-task
+      latency without paying one near-empty task per core
+      (p=8/16 beat p=32 by ~1.3x on the 0.5M-edge bench graphs).
+    - throughput-bound (derived count > floor): round UP to full waves
+      of the cores so no core idles while tasks run ~1s each — at 20M
+      edges on 32 cores, p=32 measures 16.5M edge-msgs/s vs 11.7M for
+      the raw derived p=20 (12 idle cores) and 14.8M for the previous
+      AQE configuration.
     """
     cores = spark.sparkContext.defaultParallelism
     lo = floor if floor is not None else max(2, cores // 2)
     derived = math.ceil(max(int(rows), 1) / rows_per_partition)
-    return int(min(max(lo, derived), MAX_PARTITIONS))
+    if derived <= lo:
+        p = lo
+    else:
+        p = math.ceil(derived / cores) * cores
+    return int(min(p, MAX_PARTITIONS))
 
 
 _UNSET = object()
