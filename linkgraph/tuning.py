@@ -36,13 +36,16 @@ from __future__ import annotations
 import math
 from contextlib import contextmanager
 
-# ~1M edge messages per shuffle partition: at 24-48 bytes per combined
-# message row this lands in the tens-of-MB-per-partition band that
-# keeps task count proportional to data (guide §2.2). Deliberately
-# below the guide's 100MB-1GB steady-state band: superstep shuffles are
-# latency-sensitive (one barrier per step) and partitions also bound
-# the per-task state of the combine hash aggregate.
-ROWS_PER_PARTITION = 1_000_000
+# ~2.5M edge messages per shuffle partition: at 24-48 bytes per
+# combined message row this is ~60-120 MB — the lower edge of the
+# guide's 100MB-1GB steady-state band (§2.2), kept low because
+# superstep shuffles are latency-sensitive (one barrier per step) and
+# partitions also bound the per-task state of the combine aggregate.
+# Measured at 160M edges on the 4-executor cluster: 2.5M-row
+# partitions (p=64) beat 1M-row ones (p=160) — 18.8M vs 17.7M peak
+# edge-msgs/s — fewer, larger shuffle blocks win once real fetches are
+# involved (§2.2's M x R block-count argument).
+ROWS_PER_PARTITION = 2_500_000
 
 # Backstop against absurd partition counts on a single driver (200k
 # tasks/superstep would melt the scheduler long before the data hurts).
@@ -57,26 +60,29 @@ def scale_partitions(
 ) -> int:
     """Partition count derived from data size, not machine size.
 
-    Two regimes (both measured, OPTIMIZATION_r06.md §2):
+    Two regimes (all three anchor points measured,
+    OPTIMIZATION_r06.md §2):
 
-    - latency-bound (derived count <= floor): small graphs use
-      max(2, cores/2) partitions — enough parallelism to hide per-task
-      latency without paying one near-empty task per core
+    - latency-bound (the whole dataset fits in a couple of target
+      partitions): use max(2, cores/2) — enough parallelism to hide
+      per-task latency without paying one near-empty task per core
       (p=8/16 beat p=32 by ~1.3x on the 0.5M-edge bench graphs).
-    - throughput-bound (derived count > floor): round UP to full waves
-      of the cores so no core idles while tasks run ~1s each — at 20M
-      edges on 32 cores, p=32 measures 16.5M edge-msgs/s vs 11.7M for
-      the raw derived p=20 (12 idle cores) and 14.8M for the previous
-      AQE configuration.
+    - throughput-bound: round the derived count UP to full waves of
+      the cores so no core idles mid-stage — at 20M edges on 32 local
+      cores, p=32 measures 16.5M edge-msgs/s vs 11.7M for a raw
+      derived p=20 (12 idle cores) and 14.8M for the previous AQE
+      configuration; at 160M edges on the 4x8-core cluster, p=64
+      (2.5M rows each) gives the best superstep ever measured on this
+      box (min step 8.50 s, 18.8M peak edge-msgs/s).
     """
     cores = spark.sparkContext.defaultParallelism
     lo = floor if floor is not None else max(2, cores // 2)
     derived = math.ceil(max(int(rows), 1) / rows_per_partition)
-    if derived <= lo:
+    if derived <= 2:
         p = lo
     else:
         p = math.ceil(derived / cores) * cores
-    return int(min(p, MAX_PARTITIONS))
+    return int(min(max(p, lo), MAX_PARTITIONS))
 
 
 _UNSET = object()

@@ -41,9 +41,12 @@ class TestScalePartitions:
         cores = spark.sparkContext.defaultParallelism
         assert scale_partitions(spark, 10) == max(2, cores // 2)
 
-    def test_grows_linearly_with_rows(self, spark):
+    def test_grows_with_rows_in_core_waves(self, spark):
+        cores = spark.sparkContext.defaultParallelism
         big = 64 * ROWS_PER_PARTITION
-        assert scale_partitions(spark, big) == 64
+        import math
+
+        assert scale_partitions(spark, big) == math.ceil(64 / cores) * cores
 
     def test_capped(self, spark):
         assert scale_partitions(spark, 10**15) == MAX_PARTITIONS
