@@ -66,24 +66,28 @@ def dump(out_dir: str, tag: str, sf_dir: str) -> None:
 
     # one fused superstep over links/state EXACTLY as pregel_run holds
     # them mid-loop: links persisted + materialized, state a
-    # localCheckpoint (so the dump shows the recurring per-step plan,
-    # not the one-time build lineage)
-    p = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    # localCheckpoint, the whole thing under the loop's superstep_conf
+    # (so the dump shows the recurring per-step plan the loop actually
+    # executes, not the one-time build lineage or the session's AQE)
+    from linkgraph.tuning import scale_partitions, superstep_conf
+
+    p_steps = scale_partitions(spark, max(g.num_edges, g.num_vertices))
 
     def mid_loop(spec):
-        links = (
-            spec.prepare_links(g.edges)
-            .repartition(p, spec.links_key)
-            .sortWithinPartitions(spec.links_key)
-            .persist()
-        )
+        links = spec.prepare_links(g.edges)
+        if not spec.links_prepartitioned:
+            links = links.repartition(p_steps, spec.links_key)
+        links = links.sortWithinPartitions(spec.links_key).persist()
         links.count()
-        state = spec.init_state(g.vertices).repartition(p, "id").localCheckpoint()
+        state = (
+            spec.init_state(g.vertices).repartition(p_steps, "id").localCheckpoint()
+        )
         return spec.step(links, state, state, {"_superstep": 0})
 
-    write("pagerank_superstep", mid_loop(pagerank_spec(n=g.num_vertices)))
-    write("components_superstep", mid_loop(components_spec()))
-    write("lpa_superstep", mid_loop(lpa_spec(early_stop=False)))
+    with superstep_conf(spark, p_steps):
+        write("pagerank_superstep", mid_loop(pagerank_spec(n=g.num_vertices)))
+        write("components_superstep", mid_loop(components_spec()))
+        write("lpa_superstep", mid_loop(lpa_spec(early_stop=False)))
 
     # corpus derivation (small R so plan dump is quick; same shape)
     c = FX.gen_corpus(R=500, F=2)
