@@ -6,10 +6,10 @@ isolates each headline query's phases with the noop sink so the numbers
 in OPTIMIZATION_r06.md trace to something reproducible:
 
     python bench_extra.py profile      # phase timings, one JSON line
-    python bench_extra.py steps        # per-superstep walls for the iterative algos
-    python bench_extra.py explain DIR  # dump .explain("formatted") per query
+                                       # (incl. per-superstep walls)
 
-$SPARK_GRAFT_SF_DIR / $SPARK_GRAFT_CPUS as in bench.py.
+Explain dumps live in plans_dump.py. $SPARK_GRAFT_SF_DIR /
+$SPARK_GRAFT_CPUS as in bench.py.
 """
 
 from __future__ import annotations
