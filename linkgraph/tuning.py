@@ -100,6 +100,14 @@ def superstep_conf(spark, partitions: int | None = None):
 
     Both settings are restored on exit, so surrounding non-loop queries
     keep the session defaults (AQE on, cores-derived partitions).
+
+    Threading note: session conf is global to the SparkSession, and a
+    superstep loop is a sequence of driver barriers, so the engine's
+    drivers are single-threaded by construction; nesting (a loop
+    launched from inside another loop's ctx, e.g. the dedup closure's
+    CC run) is fine — restores are LIFO. Running two INDEPENDENT loops
+    from concurrent driver threads on one session was never supported
+    (they would also race the same persisted-links namespace).
     """
     conf = spark.conf
     saved: dict[str, object] = {}
