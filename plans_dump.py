@@ -89,6 +89,24 @@ def dump(out_dir: str, tag: str, sf_dir: str) -> None:
         write("components_superstep", mid_loop(components_spec()))
         write("lpa_superstep", mid_loop(lpa_spec(early_stop=False)))
 
+        # the metric BARRIER around that step: the r6 observe form puts
+        # the global aggregators in a CollectMetrics node evaluated
+        # during the state-materializing action itself (no separate
+        # aggregate subtree / final single-partition stage); the pre-r6
+        # form was a standalone agg(...) plan over the checkpointed
+        # state (partial agg -> single-partition exchange -> final agg)
+        from pyspark.sql import Observation
+
+        spec = pagerank_spec(n=g.num_vertices)
+        stepped = mid_loop(spec).localCheckpoint(eager=False)
+        mcols = [c.alias(k) for k, c in spec.metrics.items()]
+        write(
+            "pagerank_metric_barrier",
+            stepped.observe(Observation(), *mcols)
+            if tag == "after"
+            else stepped.agg(*mcols),
+        )
+
     # corpus derivation (small R so plan dump is quick; same shape)
     c = FX.gen_corpus(R=500, F=2)
     corpus = spark.createDataFrame(c.files)

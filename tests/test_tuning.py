@@ -140,3 +140,75 @@ class TestOneExchangeShapes:
             assert n_exchanges(links) == 1
         finally:
             spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+
+class TestMetricBarrier:
+    """r6: the superstep barrier evaluates spec.metrics as observed
+    metrics during the state-materializing noop write (2 stages) instead
+    of a separate agg().first() subtree (3 stages). Values must be
+    identical either way; the fallback path must stay correct."""
+
+    def test_observe_and_agg_paths_agree(self, spark):
+        from linkgraph import pregel
+
+        df = spark.range(0, 10_000).select(
+            F.col("id"),
+            (F.col("id") % 7 == 0).cast("long").alias("changed"),
+            (F.col("id") % 1000).cast("double").alias("rank"),
+        )
+        metrics = {
+            "active": F.sum("changed"),
+            "max_rank": F.max("rank"),
+            "n_est": F.approx_count_distinct("rank", rsd=0.02),
+        }
+        ck = pregel.truncate_lineage(df, eager=False)
+        saved = pregel._METRIC_VIA_OBSERVE
+        try:
+            pregel._METRIC_VIA_OBSERVE = True
+            via_obs = pregel._metric_barrier(ck, metrics)
+            pregel._METRIC_VIA_OBSERVE = False
+            via_agg = pregel._metric_barrier(ck, metrics)
+        finally:
+            pregel._METRIC_VIA_OBSERVE = saved
+        # integer/max/HLL aggregates are order-insensitive: bit-equal
+        assert via_obs == via_agg
+        assert via_obs["active"] == 10_000 // 7 + 1
+        assert via_obs["max_rank"] == 999.0
+
+    def test_unsupported_metric_falls_back(self, spark):
+        from linkgraph import pregel
+
+        df = spark.range(0, 100).select(
+            F.col("id"), (F.col("id") % 5).alias("k")
+        )
+        # DISTINCT aggregates are rejected by CollectMetrics at analysis
+        # time — the barrier must fall back to agg().first() and still
+        # return the right value
+        metrics = {"nk": F.countDistinct("k")}
+        out = pregel._metric_barrier(
+            pregel.truncate_lineage(df, eager=False), metrics
+        )
+        assert out["nk"] == 5
+
+    def test_pregel_run_loop_uses_single_action_values(self, spark, graph_builder):
+        # end-to-end: components over G2 under both barrier modes gives
+        # identical labels AND identical per-superstep aggregates
+        from linkgraph import pregel
+        from linkgraph.algorithms import connected_components
+
+        g = graph_builder(FX.G2_EDGES)
+        saved = pregel._METRIC_VIA_OBSERVE
+        try:
+            pregel._METRIC_VIA_OBSERVE = True
+            s1, i1 = connected_components(g)
+            r1 = {tuple(r) for r in s1.collect()}
+            a1 = [s.aggregates for s in i1.log]
+            pregel._METRIC_VIA_OBSERVE = False
+            s2, i2 = connected_components(g)
+            r2 = {tuple(r) for r in s2.collect()}
+            a2 = [s.aggregates for s in i2.log]
+        finally:
+            pregel._METRIC_VIA_OBSERVE = saved
+        assert r1 == r2
+        assert i1.supersteps == i2.supersteps
+        assert a1 == a2
