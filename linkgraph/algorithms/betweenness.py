@@ -41,7 +41,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from linkgraph.graph import Graph, symmetrize
-from linkgraph.pregel import RunInfo
+from linkgraph.pregel import RunInfo, _metric_barrier
 from linkgraph.algorithms.centrality import pick_landmarks
 
 
@@ -85,9 +85,11 @@ def betweenness(
             F.col("s").alias("v"),
             F.lit(0).alias("d"),
             F.lit(1).cast("long").alias("sigma"),
-        ).localCheckpoint(eager=True)
+        ).localCheckpoint(eager=False)
         parts: list = []
-        _log_append(parts, seed, seed.count())
+        _log_append(
+            parts, seed, int(_metric_barrier(seed, {"n": F.count(F.lit(1))})["n"])
+        )
         frontier = seed.select("s", "v", "sigma")
         depth = 0
         h = 0
@@ -101,9 +103,10 @@ def betweenness(
                 .withColumnRenamed("w", "v")
                 .join(known_keys, ["s", "v"], "left_anti")
                 .select("s", "v", F.lit(h).alias("d"), "sigma")
-                .localCheckpoint(eager=True)
+                .localCheckpoint(eager=False)
             )
-            n = nxt.count()
+            # one action per hop (observed-metric count, pregel §2.8)
+            n = int(_metric_barrier(nxt, {"n": F.count(F.lit(1))})["n"])
             if n == 0:
                 info.converged = True
                 break

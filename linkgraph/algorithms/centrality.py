@@ -40,7 +40,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from linkgraph.graph import Graph, symmetrize
-from linkgraph.pregel import RunInfo
+from linkgraph.pregel import RunInfo, _metric_barrier
 
 
 def _log_append(parts: list, df: DataFrame, n: int) -> None:
@@ -113,10 +113,12 @@ def landmark_distances(
         init_frontier = lms.select("lm", F.col("lm").alias("v")).persist()
         frontier = init_frontier
         seed = frontier.select("lm", "v", F.lit(0).alias("d")).localCheckpoint(
-            eager=True
+            eager=False
         )
         parts: list = []
-        _log_append(parts, seed, seed.count())
+        _log_append(
+            parts, seed, int(_metric_barrier(seed, {"n": F.count(F.lit(1))})["n"])
+        )
         h = 0
         while h < max_hops:
             h += 1
@@ -127,9 +129,11 @@ def landmark_distances(
                 .distinct()
                 .join(known_keys, ["lm", "v"], "left_anti")
                 .withColumn("d", F.lit(h))
-                .localCheckpoint(eager=True)
+                .localCheckpoint(eager=False)
             )
-            n = nxt.count()
+            # one action per hop: the count rides the checkpoint-
+            # materializing job as an observed metric (pregel §2.8 form)
+            n = int(_metric_barrier(nxt, {"n": F.count(F.lit(1))})["n"])
             if n == 0:
                 info.converged = True
                 break

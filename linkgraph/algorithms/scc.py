@@ -39,7 +39,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from linkgraph.graph import Graph
-from linkgraph.pregel import RunInfo, truncate_lineage
+from linkgraph.pregel import RunInfo, _metric_barrier, truncate_lineage
 
 
 def _min_fixpoint(
@@ -72,10 +72,13 @@ def _min_fixpoint(
             )
         )
         new = truncate_lineage(new, eager=False)
-        row = new.agg(
-            F.sum(F.col("changed").cast("long")).alias("act"),
-            F.sum((F.col("lab") == 0).cast("long")).alias("z"),
-        ).first()
+        row = _metric_barrier(
+            new,
+            {
+                "act": F.sum(F.col("changed").cast("long")),
+                "z": F.sum((F.col("lab") == 0).cast("long")),
+            },
+        )
         active = int(row["act"] or 0)
         info.record(info.supersteps + 1, t0, active=active)
         frontier = new.filter("changed").select("id", "lab")
@@ -150,7 +153,7 @@ def _scc_inner(
         )
         trim_cond = F.col("_hs").isNull() | F.col("_hd").isNull()
         n_trim = int(
-            flags.agg(F.sum(trim_cond.cast("long")).alias("t")).first()["t"] or 0
+            _metric_barrier(flags, {"t": F.sum(trim_cond.cast("long"))})["t"] or 0
         )
         info.record(info.supersteps + 1, t0, active=n_trim)
         if n_trim:

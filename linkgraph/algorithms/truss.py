@@ -39,7 +39,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from linkgraph.graph import Graph, canonical_undirected
-from linkgraph.pregel import RunInfo
+from linkgraph.pregel import RunInfo, _metric_barrier
 
 
 def _edge_support(edges: DataFrame) -> DataFrame:
@@ -120,9 +120,10 @@ def ktruss(
             edges.join(supp, ["u", "v"], "left")
             .filter(F.coalesce(F.col("supp"), F.lit(0)) >= k - 2)
             .select("u", "v")
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
-        m = kept.count()
+        # one action per round (observed-metric count, pregel §2.8)
+        m = int(_metric_barrier(kept, {"n": F.count(F.lit(1))})["n"])
         edges.unpersist()
         edges, removed, n = kept, n - m, m
         info.record(rounds, t0, delta=float(removed), active=n)

@@ -437,17 +437,21 @@ def test_scc_trim_rounds_cost_one_action_each(spark, graph_builder, monkeypatch)
     AQE splits one action into several stage-materialization jobs, so
     we count the driver-side action calls directly.) A DAG chain of 8
     is pure trim cascade: 4 rounds of pairwise endpoint peeling → 4
-    first() barriers, zero count()/isEmpty() calls."""
+    metric barriers, zero count()/isEmpty()/first() calls — first()
+    staying at 0 additionally proves the observed-metric fast path ran
+    (the barrier's agg fallback is the only first() scc could reach)."""
     # patch the concrete class: pyspark 4's public DataFrame is an
     # abstract base the classic session subclasses with overrides
     from pyspark.sql.classic.dataframe import DataFrame
 
+    from linkgraph import pregel
     from linkgraph.algorithms import scc
 
-    calls = {"first": 0, "count": 0, "isEmpty": 0}
+    calls = {"first": 0, "count": 0, "isEmpty": 0, "barrier": 0}
     real_first, real_count, real_empty = (
         DataFrame.first, DataFrame.count, DataFrame.isEmpty,
     )
+    real_barrier = pregel._metric_barrier
     monkeypatch.setattr(
         DataFrame, "first",
         lambda self: (calls.__setitem__("first", calls["first"] + 1), real_first(self))[1],
@@ -460,10 +464,19 @@ def test_scc_trim_rounds_cost_one_action_each(spark, graph_builder, monkeypatch)
         DataFrame, "isEmpty",
         lambda self: (calls.__setitem__("isEmpty", calls["isEmpty"] + 1), real_empty(self))[1],
     )
+    monkeypatch.setattr(
+        pregel, "_metric_barrier",
+        lambda st, m: (calls.__setitem__("barrier", calls["barrier"] + 1), real_barrier(st, m))[1],
+    )
+    # the algorithm module binds the name at import time — patch there too
+    import importlib
+
+    scc_mod = importlib.import_module("linkgraph.algorithms.scc")
+    monkeypatch.setattr(scc_mod, "_metric_barrier", pregel._metric_barrier)
     g = graph_builder([(i, i + 1) for i in range(7)])  # chain of 8
-    calls.update(first=0, count=0, isEmpty=0)
+    calls.update(first=0, count=0, isEmpty=0, barrier=0)
     scc(g)
-    assert calls == {"first": 4, "count": 0, "isEmpty": 0}
+    assert calls == {"first": 0, "count": 0, "isEmpty": 0, "barrier": 4}
 
 
 def test_components_estimate_aggregator(spark, graph_builder):
