@@ -39,9 +39,29 @@ def planted_targets(i: int, R: int) -> list[int]:
     return sorted({(i * 7 + k) % R for k in range(1, deg + 1)} - {i})
 
 
-def _import_lines(lang: str, targets: list[int]) -> list[str]:
+def _import_lines(
+    lang: str, targets: list[int], line_tabs: tuple | None = None
+) -> list[str]:
     # branch once per call, not once per line (hub repos have ~R/10
     # targets, so this loop dominates generation); identical strings.
+    # line_tabs (gen_corpus's precomputed per-target fragments) replaces
+    # the {j:04d} formatting with a list index where the line depends
+    # only on the target (and parity) — the js lines still interpolate
+    # the running n.
+    if line_tabs is not None:
+        py_even, py_odd, js_lib, go_line = line_tabs
+        if lang == "python":
+            return [
+                py_even[j] if n % 2 == 0 else py_odd[j]
+                for n, j in enumerate(targets)
+            ]
+        if lang == "js":
+            return [
+                f'const x{n} = require("{js_lib[j]}")' if n % 2 == 0
+                else f'import x{n} from "{js_lib[j]}"'
+                for n, j in enumerate(targets)
+            ]
+        return [go_line[j] for j in targets]
     if lang == "python":
         return [
             f"import repo{j:04d}_pkg" if n % 2 == 0 else f"from repo{j:04d}_pkg import x"
@@ -62,9 +82,15 @@ def _filler(repo: str, path: str, lang: str) -> list[str]:
     return [f"{marker} {h[k : k + 16]}" for k in range(0, 48, 16)]
 
 
-def make_content(repo: str, path: str, lang: str, targets: list[int]) -> str:
+def make_content(
+    repo: str,
+    path: str,
+    lang: str,
+    targets: list[int],
+    line_tabs: tuple | None = None,
+) -> str:
     head = _filler(repo, path, lang)
-    body = _import_lines(lang, targets)
+    body = _import_lines(lang, targets, line_tabs)
     tail = {
         "python": ["def f():", "    return 1"],
         "js": ["function f() { return 1; }"],
@@ -82,21 +108,33 @@ class Corpus:
 
 
 def gen_corpus(R: int = 30, F: int = 5) -> Corpus:
-    # r6 perf: one precomputed name table instead of ~|E| repo_name()
-    # f-string calls (the planted hub repos make |E| ≈ R²/970, so name
-    # formatting dominated generation); output is byte-identical.
+    # r6 perf (two passes over this function this round; output is
+    # byte-identical both times, checked by frame-level sha256):
+    # - one precomputed name table instead of ~|E| repo_name() f-string
+    #   calls (the planted hub repos make |E| ≈ R²/970, so name
+    #   formatting dominated generation)
+    # - per-target import-line fragments precomputed once per repo
+    #   index instead of formatted once per (file, target) line
+    # - edges tracked as (i, j) INDEX pairs (unique by construction:
+    #   targets is a set per i) and ordered by each name's rank in the
+    #   sorted name table — identical to sorting the string tuples,
+    #   because names are unique and tuple order compares names first
     names = [repo_name(i) for i in range(R)]
+    py_even = [f"import repo{j:04d}_pkg" for j in range(R)]
+    py_odd = [f"from repo{j:04d}_pkg import x" for j in range(R)]
+    js_lib = [f"repo{j:04d}-lib" for j in range(R)]
+    go_line = [f'import "example.com/org{j:04d}/repo{j:04d}"' for j in range(R)]
+    line_tabs = (py_even, py_odd, js_lib, go_line)
     rows, shas = [], []
-    edge_set = set()
+    edge_pairs: list[tuple[int, int]] = []
     for i in range(R):
         repo = names[i]
         targets = planted_targets(i, R)
-        for j in targets:
-            edge_set.add((repo, names[j]))
+        edge_pairs.extend((i, j) for j in targets)
         for j in range(F):
             lang = LANGS[(i + j) % 3]
             path = f"src/f{j:03d}.{EXT[lang]}"
-            content = make_content(repo, path, lang, targets)
+            content = make_content(repo, path, lang, targets, line_tabs)
             rows.append(
                 (repo, path, _sha(f"{repo}@{j}")[:40], lang, content)
             )
@@ -104,12 +142,19 @@ def gen_corpus(R: int = 30, F: int = 5) -> Corpus:
     exports = []
     for j in range(R):
         exports.append((f"repo{j:04d}_pkg", names[j]))
-        exports.append((f"repo{j:04d}-lib", names[j]))
+        exports.append((js_lib[j], names[j]))
         exports.append((f"example.com/org{j:04d}/repo{j:04d}", names[j]))
+    rank = [0] * R
+    for r, idx in enumerate(sorted(range(R), key=names.__getitem__)):
+        rank[idx] = r
+    edge_pairs.sort(key=lambda e: (rank[e[0]], rank[e[1]]))
     return Corpus(
         files=pd.DataFrame(rows, columns=["repo", "path", "commit", "lang", "content"]),
         exports=pd.DataFrame(exports, columns=["module", "repo"]),
-        edges=pd.DataFrame(sorted(edge_set), columns=["src_repo", "dst_repo"]),
+        edges=pd.DataFrame(
+            [(names[i], names[j]) for i, j in edge_pairs],
+            columns=["src_repo", "dst_repo"],
+        ),
         row_sha256=pd.DataFrame(shas, columns=["repo", "path", "sha256"]),
     )
 
